@@ -69,6 +69,13 @@ class System:
     def dt(self) -> Optional[float]:
         return self._dt
 
+    # Immutable: copies can share the instance.
+    def __copy__(self):
+        return self
+
+    def __deepcopy__(self, memo):
+        return self
+
     # -- hashing / equality -------------------------------------------
     def __eq__(self, other):
         return (

@@ -34,7 +34,11 @@ class Task:
 
     # -- step limits / termination (task.py:42-100) --------------------
     def set_num_steps(self, num_steps: int):
-        self._term_cond = lambda traj: len(traj) >= num_steps
+        cond = lambda traj: len(traj) >= num_steps
+        # Marker lets the simulator compile a fixed-length scan instead of
+        # checking termination on host each step (utils/simulation.py).
+        cond._ampc_num_steps = int(num_steps)
+        self._term_cond = cond
         self._num_steps = int(num_steps)
 
     def has_num_steps(self) -> bool:
