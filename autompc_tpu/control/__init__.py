@@ -1,3 +1,6 @@
 from .controller import Controller, ControllerFactory
 from .lqr import LQR, LQRFactory, FiniteHorizonLQR, InfiniteHorizonLQR
 from .zero import ZeroController, ZeroControllerFactory
+from .ilqr import IterativeLQR, IterativeLQRFactory
+from .mppi import MPPI, MPPIFactory
+from .nmpc import DirectTranscriptionController, DirectTranscriptionControllerFactory

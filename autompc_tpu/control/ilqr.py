@@ -1,0 +1,345 @@
+"""Iterative LQR as one fused XLA program.
+
+Re-creates the reference iLQR controller (reference:
+autompc/control/ilqr.py:43-295) with exact algorithmic semantics —
+dt-scaled stage expansions, Riccati backward pass, ``alpha = 0.2^i``
+backtracking line search with the 0.3 expected-reduction acceptance test,
+``||k||``/``||du||`` thresholds — but compiled as a single jitted solve:
+
+* forward rollout + Jacobians: one ``lax.scan`` with ``jax.jacfwd``
+  (replaces the per-step Python loop + hand-written ``pred_diff``,
+  ilqr.py:144-147)
+* backward pass: ``lax.scan`` in reverse (ops/riccati.py:
+  tvlqr_backward_scan; replaces ilqr.py:165-187)
+* line search: all alphas rolled out together via ``vmap`` over a scan
+  (the reference already batches alphas per-timestep, ilqr.py:196-205;
+  here the whole rollout is one fused kernel)
+* outer iteration: ``lax.while_loop`` with masked accept/fail logic
+  (replaces the Python loop + breaks, ilqr.py:160-248)
+
+The solver is a pure function of (model params, x0, uguess), so the tuner
+reuses one compiled program across every candidate model of the same
+shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ConfigurationSpace, UniformIntegerHyperparameter
+from ..ops.riccati import tvlqr_backward_scan
+from .controller import Controller, ControllerFactory
+
+
+def make_ilqr_solver(
+    pred_core,
+    cost,
+    H: int,
+    ds: int,
+    dc: int,
+    obsdim: int,
+    dt: float,
+    ubounds=None,
+    u_threshold: float = 1e-3,
+    max_iter: int = 50,
+    ls_max_iter: int = 10,
+    ls_discount: float = 0.2,
+    ls_cost_threshold: float = 0.3,
+):
+    """Build a jittable iLQR solve:
+    ``solve(params, x0, uguess) -> (converged, xs, us, Ks, ks)``.
+
+    Semantics mirror ``IterativeLQR.compute_ilqr_default``
+    (ilqr.py:100-265), including its quirks: Jacobians are only
+    re-linearized after a *successful* line search, and a step that
+    fails the sufficient-decrease test but worsens the objective by at
+    most 1e-3 is still accepted (ilqr.py:226-233).
+    """
+    if ubounds is not None:
+        umin = jnp.asarray(ubounds[0])
+        umax = jnp.asarray(ubounds[1])
+
+    def clip_u(u):
+        return jnp.clip(u, umin, umax) if ubounds is not None else u
+
+    def forward(params, x0, us):
+        def step(x, u):
+            pred = pred_core(params, x, u)
+            jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
+            ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
+            return pred, (pred, jx, ju)
+
+        _, (xs1, Jx, Ju) = jax.lax.scan(step, x0, us)
+        return jnp.concatenate([x0[None], xs1], axis=0), Jx, Ju
+
+    def relinearize(params, xs, us):
+        def one(x, u):
+            jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
+            ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
+            return jx, ju
+
+        return jax.vmap(one)(xs[:H], us)
+
+    def eval_obj(xs, us):
+        # dt * sum_{t<H}(obs cost + ctrl cost) + terminal (ilqr.py:126-131)
+        oc = jnp.sum(jax.vmap(lambda x: cost.eval_obs_cost(x[:obsdim]))(xs[:H]))
+        cc = jnp.sum(jax.vmap(cost.eval_ctrl_cost)(us))
+        return dt * (oc + cc) + cost.eval_term_obs_cost(xs[H, :obsdim])
+
+    def stage_expansions(xs, us):
+        def one(x, u):
+            _, qx, Qh = cost.eval_obs_cost_hess(x[:obsdim])
+            _, ru, Rh = cost.eval_ctrl_cost_hess(u)
+            Cxx = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(Qh * dt)
+            cx = jnp.zeros(ds).at[:obsdim].set(qx * dt)
+            return Cxx, Rh * dt, cx, ru * dt
+
+        return jax.vmap(one)(xs[:H], us)
+
+    alphas = ls_discount ** jnp.arange(ls_max_iter)
+
+    def line_search(params, x0, xs, us, Ks, ks):
+        def rollout(alpha):
+            def step(x, inp):
+                xbar, ubar, K, k = inp
+                u = clip_u(alpha * k + ubar + K @ (x - xbar))
+                x1 = pred_core(params, x, u)
+                return x1, (x1, u)
+
+            _, (xs1, us1) = jax.lax.scan(step, x0, (xs[:H], us, Ks, ks))
+            return jnp.concatenate([x0[None], xs1], axis=0), us1
+
+        return jax.vmap(rollout)(alphas)
+
+    def solve(params, x0, uguess):
+        xs0, Jx0, Ju0 = forward(params, x0, uguess)
+        obj0 = eval_obj(xs0, uguess)
+        carry0 = dict(
+            xs=xs0,
+            us=uguess,
+            Jx=Jx0,
+            Ju=Ju0,
+            obj=obj0,
+            Ks=jnp.zeros((H, dc, ds)),
+            ks=jnp.zeros((H, dc)),
+            itr=jnp.array(0),
+            converged=jnp.array(False),
+            failed=jnp.array(False),
+        )
+
+        def cond(c):
+            return (c["itr"] < max_iter) & ~c["converged"] & ~c["failed"]
+
+        def body(c):
+            xs, us = c["xs"], c["us"]
+            # Terminal value expansion (ilqr.py:159-164).
+            _, tg, th = cost.eval_term_obs_cost_hess(xs[H, :obsdim])
+            Vn = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(th)
+            vn = jnp.zeros(ds).at[:obsdim].set(tg)
+            Cxx, Cuu, cx, cu = stage_expansions(xs, us)
+            Ks, ks, lin_red, quad_red = tvlqr_backward_scan(
+                c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn
+            )
+            ks_norm = jnp.linalg.norm(ks)
+
+            ls_xs, ls_us = line_search(params, x0, xs, us, Ks, ks)
+            new_objs = jax.vmap(eval_obj)(ls_xs, ls_us)
+            expect = alphas * lin_red + alphas**2 * quad_red / 2
+            denom = -expect
+            ratios = jnp.where(
+                jnp.abs(denom) > 1e-30, (c["obj"] - new_objs) / denom, -jnp.inf
+            )
+            accept = ratios > ls_cost_threshold
+            ks_small = ks_norm < u_threshold
+            any_acc = jnp.any(accept)
+            first_acc = jnp.argmax(accept)
+            # First acceptor wins; otherwise argmin over objectives; with
+            # a tiny k only alpha 0 is ever evaluated (ilqr.py:208-225).
+            chosen = jnp.where(
+                ks_small, 0, jnp.where(any_acc, first_acc, jnp.argmin(new_objs))
+            )
+            best_obj = new_objs[chosen]
+            ls_success = (best_obj < c["obj"]) | ks_small
+            # Objective of the last alpha the reference would have
+            # evaluated before leaving its loop (ilqr.py:226-227).
+            idx_last = jnp.where(
+                ks_small, 0, jnp.where(any_acc, first_acc, ls_max_iter - 1)
+            )
+            last_obj = new_objs[idx_last]
+            failed = (~ls_success) & (last_obj > c["obj"] + 1e-3)
+
+            sel = jnp.where(ls_success, chosen, idx_last)
+            new_xs = ls_xs[sel]
+            new_us = ls_us[sel]
+            new_obj = jnp.where(ls_success, best_obj, last_obj)
+
+            Jx_new, Ju_new = jax.lax.cond(
+                ls_success,
+                lambda: relinearize(params, new_xs, new_us),
+                lambda: (c["Jx"], c["Ju"]),
+            )
+            du_norm = jnp.linalg.norm(new_us - us)
+            converged = (du_norm < u_threshold) & ~failed
+
+            keep = lambda new, old: jnp.where(failed, old, new)
+            return dict(
+                xs=keep(new_xs, xs),
+                us=keep(new_us, us),
+                Jx=keep(Jx_new, c["Jx"]),
+                Ju=keep(Ju_new, c["Ju"]),
+                obj=keep(new_obj, c["obj"]),
+                Ks=Ks,
+                ks=ks,
+                itr=c["itr"] + 1,
+                converged=converged,
+                failed=failed,
+            )
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        return out["converged"], out["xs"], out["us"], out["Ks"], out["ks"]
+
+    return solve
+
+
+class IterativeLQRFactory(ControllerFactory):
+    """Hyperparameters (ilqr.py:36-41):
+
+    - *horizon* (int, 5..25, default 20): MPC optimization horizon.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.Controller = IterativeLQR
+        self.name = "IterativeLQR"
+
+    def get_configuration_space(self):
+        cs = ConfigurationSpace()
+        cs.add_hyperparameter(
+            UniformIntegerHyperparameter("horizon", lower=5, upper=25, default_value=20)
+        )
+        return cs
+
+
+class IterativeLQR(Controller):
+    def __init__(
+        self,
+        system,
+        task,
+        model,
+        horizon,
+        reuse_feedback=-1,
+        ubounds=None,
+        mode=None,
+        verbose=False,
+    ):
+        """``reuse_feedback`` steps of the cached feedback gains are
+        replayed before recomputing (0 = recompute every step; reference
+        ilqr.py:44-63). ``mode`` None uses control clipping; the
+        reference declares barrier/auglag modes but never implements
+        them (ilqr.py:69-76)."""
+        super().__init__(system, task, model)
+        self.horizon = int(horizon)
+        if reuse_feedback is None or reuse_feedback <= 0:
+            self.reuse_feedback = 0
+        elif reuse_feedback > self.horizon:
+            self.reuse_feedback = self.horizon
+        else:
+            self.reuse_feedback = int(reuse_feedback)
+        if mode not in (None, "barrier", "auglag"):
+            raise ValueError("mode has to be None/barrier/auglag")
+        if ubounds is None and task.are_ctrl_bounded():
+            bounds = task.get_ctrl_bounds()
+            ubounds = (bounds[:, 0], bounds[:, 1])
+        self.ubounds = ubounds
+        self._model_params = model.params
+        self._solve = make_ilqr_solver(
+            model.pred_core,
+            task.get_cost(),
+            H=self.horizon,
+            ds=model.state_dim,
+            dc=system.ctrl_dim,
+            obsdim=system.obs_dim,
+            dt=system.dt,
+            ubounds=ubounds,
+        )
+
+    @property
+    def state_dim(self):
+        return self.model.state_dim + self.system.ctrl_dim
+
+    @staticmethod
+    def is_compatible(system, task, model):
+        return (
+            task.get_cost().is_quad
+            and not task.are_obs_bounded()
+            and not task.eq_cons_present()
+            and not task.ineq_cons_present()
+        )
+
+    def traj_to_state(self, traj):
+        H, dc, ds = self.horizon, self.system.ctrl_dim, self.model.state_dim
+        return dict(
+            model_state=self.model.traj_to_state(traj),
+            last_u=jnp.asarray(traj[-1].ctrl),
+            xs=jnp.zeros((H + 1, ds)),
+            us=jnp.zeros((H, dc)),
+            Ks=jnp.zeros((H, dc, ds)),
+            ks=jnp.zeros((H, dc)),
+            step_count=jnp.array(0),
+            need_recompute=jnp.array(True),
+        )
+
+    def step(self, cstate, new_obs):
+        params = self._model_params
+        H, dc = self.horizon, self.system.ctrl_dim
+        state = self.model.update_state_core(
+            params, cstate["model_state"], cstate["last_u"], new_obs
+        )
+
+        if self.reuse_feedback == 0:
+            # Recompute every step (default path) — no caching branch.
+            _, xs, us, Ks, ks = self._solve(params, state, jnp.zeros((H, dc)))
+            u = us[0] + Ks[0] @ (state - xs[0])
+            return u, dict(
+                cstate,
+                model_state=state,
+                last_u=u,
+                xs=xs, us=us, Ks=Ks, ks=ks,
+            )
+
+        def recompute(_):
+            _, xs, us, Ks, ks = self._solve(params, state, jnp.zeros((H, dc)))
+            return xs, us, Ks, ks, jnp.array(0)
+
+        def cached(_):
+            return (
+                cstate["xs"], cstate["us"], cstate["Ks"], cstate["ks"],
+                cstate["step_count"],
+            )
+
+        xs, us, Ks, ks, step_count = jax.lax.cond(
+            cstate["need_recompute"], recompute, cached, None
+        )
+        u = us[step_count] + Ks[step_count] @ (state - xs[step_count])
+        step_next = step_count + 1
+        # Recompute when the cached gain budget is exhausted
+        # (ilqr.py:285-288).
+        need_next = step_next >= self.reuse_feedback
+        return u, dict(
+            model_state=state,
+            last_u=u,
+            xs=xs, us=us, Ks=Ks, ks=ks,
+            step_count=step_next,
+            need_recompute=need_next,
+        )
+
+    # -- reference-parity one-shot solve -------------------------------
+    def compute_ilqr(self, state, uguess, **kwargs):
+        """Direct access to the underlying solve (ilqr.py:100 API):
+        returns (converged, states, ctrls, Ks, ks)."""
+        return jax.jit(self._solve)(
+            self._model_params, jnp.asarray(state), jnp.asarray(uguess)
+        )

@@ -1,0 +1,206 @@
+"""Direct transcription MPC via device-resident SQP.
+
+Re-creates the reference's direct-transcription controller (reference:
+autompc/control/nmpc.py:36-327): a knot-point NLP over states
+``x_0..x_H`` and controls ``u_0..u_{H-1}`` with Euler dynamics defect
+constraints, warm-started from the previous MPC step's solution, ~10
+solver iterations per step.
+
+Where the reference hands the NLP to IPOPT (C++ via cyipopt,
+nmpc.py:283-298) with Python callbacks per inner iteration, this
+implementation runs a **sequential quadratic programming loop fully on
+device**: each SQP iterate linearizes the dynamics, solves the
+equality-constrained trajectory QP through its block-tridiagonal KKT
+factorization (ops/trajqp.py — one backward + one forward scan), and
+globalizes with an L1-merit backtracking line search. Control bounds are
+enforced by projection, matching the reference solvers' clipping
+convention. The whole MPC step jits and fuses with the surrounding
+closed-loop scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigurationSpace, UniformIntegerHyperparameter
+from ..ops.trajqp import qp_backward, qp_forward
+from .controller import Controller, ControllerFactory
+
+
+class DirectTranscriptionControllerFactory(ControllerFactory):
+    """Hyperparameters (nmpc.py:234-239):
+
+    - *horizon* (int, 1..30, default 10): control horizon **in seconds**;
+      knot count = ceil(horizon / dt) (nmpc.py:254).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.Controller = DirectTranscriptionController
+        self.name = "DirectTranscription"
+
+    def get_configuration_space(self):
+        cs = ConfigurationSpace()
+        cs.add_hyperparameter(
+            UniformIntegerHyperparameter("horizon", lower=1, upper=30, default_value=10)
+        )
+        return cs
+
+
+def make_sqp_solver(
+    pred_core,
+    cost,
+    H: int,
+    ds: int,
+    dc: int,
+    obsdim: int,
+    dt: float,
+    ubounds,
+    sqp_iters: int = 10,
+    ls_max_iter: int = 8,
+    merit_mu: float = 100.0,
+    reg: float = 1e-7,
+):
+    """Build ``solve(params, x0, xs_guess, us_guess) -> (xs, us)``.
+
+    Objective semantics mirror NonLinearMPCProblem.get_cost
+    (nmpc.py:73-83): ``dt * sum_{i=0..H} obs_cost(x_i) + dt *
+    sum_{i<H} ctrl_cost(u_i) + term_cost(x_H)``; defects are
+    ``f(x_i, u_i) - x_{i+1}`` (nmpc.py:102-110).
+    """
+    umin = jnp.asarray(ubounds[0])
+    umax = jnp.asarray(ubounds[1])
+
+    def clip_u(u):
+        return jnp.clip(u, umin, umax)
+
+    def objective(xs, us):
+        oc = jnp.sum(jax.vmap(lambda x: cost.eval_obs_cost(x[:obsdim]))(xs))
+        cc = jnp.sum(jax.vmap(cost.eval_ctrl_cost)(us))
+        return dt * (oc + cc) + cost.eval_term_obs_cost(xs[H, :obsdim])
+
+    def defects(params, xs, us):
+        preds = jax.vmap(lambda x, u: pred_core(params, x, u))(xs[:H], us)
+        return preds - xs[1:]
+
+    def merit(params, xs, us):
+        return objective(xs, us) + merit_mu * jnp.sum(
+            jnp.abs(defects(params, xs, us))
+        )
+
+    def linearize(params, xs, us):
+        def one(x, u):
+            jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
+            ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
+            return jx, ju
+
+        return jax.vmap(one)(xs[:H], us)
+
+    def stage_expansions(xs, us):
+        def one(x, u):
+            _, qx, Qh = cost.eval_obs_cost_hess(x[:obsdim])
+            _, ru, Rh = cost.eval_ctrl_cost_hess(u)
+            Cxx = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(Qh * dt)
+            cx = jnp.zeros(ds).at[:obsdim].set(qx * dt)
+            return Cxx, Rh * dt, cx, ru * dt
+
+        return jax.vmap(one)(xs[:H], us)
+
+    alphas = 0.5 ** jnp.arange(ls_max_iter)
+
+    def sqp_iteration(carry, _):
+        params, xs, us = carry
+        A_seq, B_seq = linearize(params, xs, us)
+        d_seq = defects(params, xs, us)
+        Cxx, Cuu, cx, cu = stage_expansions(xs, us)
+        Cux = jnp.zeros((H, dc, ds))
+        # Terminal expansion includes the knot's own stage cost plus the
+        # terminal cost (nmpc.py:78-82: obs cost runs over i=0..H).
+        _, tg, th = cost.eval_term_obs_cost_hess(xs[H, :obsdim])
+        _, sg, sh = cost.eval_obs_cost_hess(xs[H, :obsdim])
+        Vf = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(th + sh * dt)
+        vf = jnp.zeros(ds).at[:obsdim].set(tg + sg * dt)
+
+        Ks, ks, _, _ = qp_backward(
+            A_seq, B_seq, Cxx, Cuu, Cux, cx, cu, d_seq, Vf, vf, reg
+        )
+
+        merit0 = merit(params, xs, us)
+
+        def try_alpha(alpha):
+            dxs, dus = qp_forward(A_seq, B_seq, d_seq, Ks, ks, alpha=alpha)
+            xs_new = xs + dxs
+            us_new = clip_u(us + dus)
+            return xs_new, us_new, merit(params, xs_new, us_new)
+
+        xs_c, us_c, merits = jax.vmap(try_alpha)(alphas)
+        improved = merits < merit0
+        # First improving alpha; if none improve, keep the iterate.
+        idx = jnp.argmax(improved)
+        any_imp = jnp.any(improved)
+        xs_next = jnp.where(any_imp, xs_c[idx], xs)
+        us_next = jnp.where(any_imp, us_c[idx], us)
+        return (params, xs_next, us_next), merits[idx]
+
+    def solve(params, x0, xs_guess, us_guess):
+        xs = xs_guess.at[0].set(x0)
+        (params, xs, us), _ = jax.lax.scan(
+            sqp_iteration, (params, xs, us_guess), None, length=sqp_iters
+        )
+        return xs, us
+
+    return solve
+
+
+class DirectTranscriptionController(Controller):
+    def __init__(self, system, task, model, horizon):
+        super().__init__(system, task, model)
+        # Reference converts the horizon hyperparameter (seconds) to knot
+        # count (nmpc.py:254).
+        self.horizon = int(np.ceil(horizon / system.dt))
+        bounds = task.get_ctrl_bounds()
+        finite_lo = np.where(np.isfinite(bounds[:, 0]), bounds[:, 0], -1e9)
+        finite_hi = np.where(np.isfinite(bounds[:, 1]), bounds[:, 1], 1e9)
+        self._model_params = model.params
+        self._solve = make_sqp_solver(
+            model.pred_core,
+            task.get_cost(),
+            H=self.horizon,
+            ds=model.state_dim,
+            dc=system.ctrl_dim,
+            obsdim=system.obs_dim,
+            dt=system.dt,
+            ubounds=(finite_lo, finite_hi),
+        )
+
+    @property
+    def state_dim(self):
+        return self.model.state_dim + self.system.ctrl_dim
+
+    @staticmethod
+    def is_compatible(system, task, model):
+        return True
+
+    def traj_to_state(self, traj):
+        H, ds, dc = self.horizon, self.model.state_dim, self.system.ctrl_dim
+        return dict(
+            model_state=self.model.traj_to_state(traj),
+            last_u=jnp.asarray(traj[-1].ctrl),
+            xs_guess=jnp.zeros((H + 1, ds)),
+            us_guess=jnp.zeros((H, dc)),
+        )
+
+    def step(self, cstate, new_obs):
+        params = self._model_params
+        x = self.model.update_state_core(
+            params, cstate["model_state"], cstate["last_u"], new_obs
+        )
+        xs, us = self._solve(params, x, cstate["xs_guess"], cstate["us_guess"])
+        u = us[0]
+        # Warm start next step from this solution (nmpc.py:319-320; the
+        # reference does not shift the guess).
+        return u, dict(
+            model_state=x, last_u=u, xs_guess=xs, us_guess=us
+        )

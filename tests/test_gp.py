@@ -1,0 +1,97 @@
+"""Approximate GP (SVGP) model tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import autompc_tpu as ampc
+from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
+from autompc_tpu.sysid import ApproximateGPModel, ApproximateGPModelFactory
+
+
+@pytest.fixture(scope="module")
+def benchmark():
+    return CartpoleSwingupBenchmark()
+
+
+@pytest.fixture(scope="module")
+def trained_gp(benchmark):
+    trajs = benchmark.gen_trajs_batch(seed=42, n_trajs=30, traj_len=50)
+    model = ApproximateGPModel(
+        benchmark.system, niter=8, lr=0.05, batch_size=256, induce_count=64
+    )
+    model.train(trajs)
+    return model
+
+
+class TestApproximateGP:
+    def test_elbo_improves(self, trained_gp):
+        losses = np.asarray(trained_gp._losses)
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_holdout_accuracy(self, benchmark, trained_gp):
+        holdout = benchmark.gen_trajs_batch(seed=5, n_trajs=2, traj_len=40)[0]
+        preds = trained_gp.pred_batch(holdout.obs[:-1], holdout.ctrls[:-1])
+        errs = np.asarray(preds) - np.asarray(holdout.obs[1:])
+        deltas = np.abs(np.diff(np.asarray(holdout.obs), axis=0))
+        assert np.abs(errs).mean() < 0.5 * deltas.mean()
+
+    def test_pred_diff_shapes(self, trained_gp):
+        s = jnp.array([0.1, 0.0, 0.2, 0.0])
+        u = jnp.array([1.0])
+        pred, jx, ju = trained_gp.pred_diff(s, u)
+        assert pred.shape == (4,)
+        assert jx.shape == (4, 4)
+        assert ju.shape == (4, 1)
+        assert np.isfinite(np.asarray(jx)).all()
+
+    def test_sampling(self, trained_gp):
+        s = jnp.array([0.1, 0.0, 0.2, 0.0])
+        u = jnp.array([1.0])
+        key = jax.random.PRNGKey(0)
+        s1 = trained_gp.sample(s, u, key=key)
+        s2 = trained_gp.sample(s, u, key=key)
+        s3 = trained_gp.sample(s, u, key=jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+        assert not np.allclose(np.asarray(s1), np.asarray(s3))
+        # samples distribute around the mean prediction
+        mean = np.asarray(trained_gp.pred(s, u))
+        keys = jax.random.split(jax.random.PRNGKey(2), 64)
+        draws = np.stack(
+            [np.asarray(trained_gp.sample(s, u, key=k)) for k in keys]
+        )
+        np.testing.assert_allclose(draws.mean(axis=0), mean, atol=0.2)
+
+    def test_sample_parallel(self, trained_gp):
+        states = jnp.zeros((8, 4))
+        ctrls = jnp.ones((8, 1))
+        out = trained_gp.sample_parallel(states, ctrls, key=jax.random.PRNGKey(3))
+        assert out.shape == (8, 4)
+
+    def test_get_sampler_frozen_draw(self, trained_gp):
+        sampler = trained_gp.get_sampler(key=jax.random.PRNGKey(4))
+        s = jnp.array([0.1, 0.0, 0.2, 0.0])
+        u = jnp.array([1.0])
+        np.testing.assert_allclose(
+            np.asarray(sampler(s, u)), np.asarray(sampler(s, u))
+        )
+
+    def test_parameters_roundtrip(self, benchmark, trained_gp):
+        m2 = ApproximateGPModel(benchmark.system, induce_count=64)
+        m2.set_parameters(trained_gp.get_parameters())
+        s = jnp.array([0.3, 0.1, 0.0, -0.1])
+        u = jnp.array([0.5])
+        np.testing.assert_allclose(
+            np.asarray(trained_gp.pred(s, u)), np.asarray(m2.pred(s, u)),
+            rtol=1e-6,
+        )
+
+    def test_factory(self, benchmark):
+        factory = ApproximateGPModelFactory(benchmark.system)
+        cs = factory.get_configuration_space()
+        cfg = cs.get_default_configuration()
+        assert cfg["induce_count"] == 100
+        model = factory(cfg, None, skip_train_model=True)
+        assert model.induce_count == 100
