@@ -1,0 +1,2 @@
+from .mesh import make_mesh, pad_to_multiple, shard_vmap
+from .fanout import QuadCostFanout, MPPIFanout

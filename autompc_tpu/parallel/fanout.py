@@ -1,0 +1,210 @@
+"""Tuning fan-out: evaluate batches of candidate configurations with one
+sharded program.
+
+This is the TPU-native replacement for the reference's strictly
+sequential SMAC objective (reference: autompc/tuning/pipeline_tuner.py:
+213-271, one `pipeline(cfg) -> simulate -> cost` per iteration): for
+configuration families whose hyperparameters do not change compiled
+shapes (cost gains, solver temperatures/scales), the *entire* candidate
+evaluation — controller synthesis (iLQR/MPPI solve) + closed-loop
+surrogate rollout + metric — is one pure function, vmapped over the
+candidate batch and sharded over the mesh's ``config`` axis. Thousands
+of candidates evaluate in the time the reference takes for one.
+
+Shape-changing hyperparameters (horizon, model sizes) are handled by
+bucketing: one ``TuningFanout`` per shape signature
+(config/space.py:shape_signature), compiled once and reused.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..control.ilqr import make_ilqr_solver
+from ..costs import QuadCost
+from ..utils.simulation import rollout_scan
+from .mesh import make_mesh, shard_vmap
+
+
+class QuadCostFanout:
+    """Evaluate a batch of diagonal quadratic-cost candidates (the
+    QuadCostFactory search space, costs/quad_cost_factory.py) for a fixed
+    model/surrogate pair, with an iLQR controller synthesized per
+    candidate inside the traced program.
+
+    ``__call__(params_batch)`` takes a dict of arrays with leading batch
+    axis:
+        Qdiag (B, n), Fdiag (B, n), Rdiag (B, m)
+    and returns the per-candidate task cost of the closed-loop surrogate
+    trajectory, shape (B,).
+    """
+
+    def __init__(
+        self,
+        system,
+        task,
+        model,
+        surrogate,
+        horizon: int = 20,
+        n_steps: Optional[int] = None,
+        mesh=None,
+        goal=None,
+    ):
+        self.system = system
+        self.task = task
+        n_steps = n_steps or (task.get_num_steps() or 200) - 1
+        goal = jnp.asarray(
+            goal
+            if goal is not None
+            else (task.get_cost().get_goal() if task.get_cost() is not None
+                  else jnp.zeros(system.obs_dim))
+        )
+        init_obs = jnp.asarray(task.get_init_obs())
+        bounds = task.get_ctrl_bounds()
+        ubounds = (bounds[:, 0], bounds[:, 1])
+        task_cost = task.get_cost()
+
+        model_params = model.params
+        surr_params = surrogate.params
+        ds = model.state_dim
+        dc = system.ctrl_dim
+        n = system.obs_dim
+        # Initial controller-model state from the seed observation
+        # (host-side precompute; the model is fixed across candidates).
+        from ..core.trajectory import zeros as traj_zeros
+
+        seed_traj = traj_zeros(system, 1).set_obs(0, init_obs)
+        mstate0 = model.traj_to_state(seed_traj)
+
+        def eval_one(cost_params):
+            cost = QuadCost(
+                system,
+                jnp.diag(cost_params["Qdiag"]),
+                jnp.diag(cost_params["Rdiag"]),
+                jnp.diag(cost_params["Fdiag"]),
+                goal=goal,
+            )
+            solve = make_ilqr_solver(
+                model.pred_core, cost,
+                H=horizon, ds=ds, dc=dc, obsdim=n,
+                dt=system.dt, ubounds=ubounds,
+            )
+
+            def ctrl_step(cstate, obs):
+                mstate, last_u = cstate
+                state = model.update_state_core(
+                    model_params, mstate, last_u, obs
+                )
+                _, xs, us, Ks, ks = solve(
+                    model_params, state, jnp.zeros((horizon, dc))
+                )
+                u = us[0] + Ks[0] @ (state - xs[0])
+                return u, (state, u)
+
+            def advance(obs, u):
+                # Surrogate closed loop; obs-state surrogates only (the
+                # fan-out path targets obs-state models; lifted-state
+                # surrogates go through the general simulate()).
+                return surrogate.pred_core(surr_params, obs, u)[:n]
+
+            cstate0 = (mstate0, jnp.zeros(dc))
+            all_obs, ctrl_seq, _ = rollout_scan(
+                ctrl_step, advance, cstate0, init_obs, n_steps
+            )
+            # Task metric over the rollout (threshold costs trace fine).
+            stage = jax.vmap(task_cost.eval_obs_cost)(all_obs).sum()
+            ctrlc = jax.vmap(task_cost.eval_ctrl_cost)(ctrl_seq).sum()
+            term = task_cost.eval_term_obs_cost(all_obs[-1])
+            total = stage + ctrlc + term
+            # Non-finite rollouts score +inf (bad config => tuning
+            # continues; pipeline_tuner.py:236-239 contract).
+            return jnp.where(jnp.isfinite(total), total, jnp.inf)
+
+        self._eval = shard_vmap(eval_one, mesh=mesh)
+
+    def __call__(self, params_batch):
+        return self._eval(params_batch)
+
+
+class MPPIFanout:
+    """Evaluate batches of MPPI solver configurations (sigma, lmda) +
+    quad-cost gains against a surrogate — all scalars, so one compiled
+    program covers the whole (num_path, horizon) bucket."""
+
+    def __init__(
+        self,
+        system,
+        task,
+        model,
+        surrogate,
+        horizon: int = 20,
+        num_path: int = 512,
+        n_steps: Optional[int] = None,
+        mesh=None,
+        seed: int = 0,
+    ):
+        from ..control.mppi import MPPI
+
+        n_steps = n_steps or (task.get_num_steps() or 200) - 1
+        init_obs = jnp.asarray(task.get_init_obs())
+        task_cost = task.get_cost()
+        goal = jnp.asarray(
+            task_cost.get_goal() if task_cost is not None and task_cost.has_goal
+            else jnp.zeros(system.obs_dim)
+        )
+        n = system.obs_dim
+        surr_params = surrogate.params
+        from ..core.trajectory import zeros as traj_zeros
+
+        seed_traj = traj_zeros(system, 1).set_obs(0, init_obs)
+        mstate0 = model.traj_to_state(seed_traj)
+
+        def eval_one(cfg):
+            cost = QuadCost(
+                system,
+                jnp.diag(cfg["Qdiag"]),
+                jnp.diag(cfg["Rdiag"]),
+                jnp.diag(cfg["Fdiag"]),
+                goal=goal,
+            )
+            task_local = task.copy()
+            task_local.set_cost(cost)
+            con = MPPI(
+                system, task_local, model,
+                horizon=horizon, num_path=num_path, seed=seed,
+            )
+            # Override the static sigma/lmda with traced values.
+            con.sigma = cfg["sigma"]
+            con.lmda = cfg["lmda"]
+
+            key = jax.random.PRNGKey(seed)
+            key, k0 = jax.random.split(key)
+            act0 = jnp.sqrt(cfg["sigma"]) * jax.random.normal(
+                k0, (horizon, system.ctrl_dim)
+            )
+            cstate0 = dict(
+                model_state=mstate0,
+                last_u=jnp.zeros(system.ctrl_dim),
+                act_sequence=act0,
+                key=key,
+            )
+
+            def advance(obs, u):
+                return surrogate.pred_core(surr_params, obs, u)[:n]
+
+            all_obs, ctrl_seq, _ = rollout_scan(
+                con.step, advance, cstate0, init_obs, n_steps
+            )
+            stage = jax.vmap(task_cost.eval_obs_cost)(all_obs).sum()
+            ctrlc = jax.vmap(task_cost.eval_ctrl_cost)(ctrl_seq).sum()
+            term = task_cost.eval_term_obs_cost(all_obs[-1])
+            total = stage + ctrlc + term
+            return jnp.where(jnp.isfinite(total), total, jnp.inf)
+
+        self._eval = shard_vmap(eval_one, mesh=mesh)
+
+    def __call__(self, params_batch):
+        return self._eval(params_batch)

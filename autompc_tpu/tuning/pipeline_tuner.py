@@ -1,0 +1,240 @@
+"""Pipeline tuner: joint AutoML over {model, cost, controller}.
+
+Re-creates the reference PipelineTuner (reference:
+autompc/tuning/pipeline_tuner.py:78-319): split the data into surrogate
+and system-ID sets, build a surrogate dynamics model (five modes), then
+optimize the pipeline's joint configuration space where each candidate
+is instantiated and **simulated closed-loop against the surrogate**; the
+surrogate trajectory's task cost is the tuning objective. Optionally the
+true dynamics cost is recorded per iteration (reporting only).
+
+TPU-native differences: the optimizer is batched BO (tuning/bo.py), each
+candidate's closed-loop rollout runs as one fused scan on device, and
+batches of candidates can be evaluated through the parallel fan-out in
+``autompc_tpu.parallel`` (config-level data parallelism over a mesh).
+Exceptions and non-finite rollouts score ``inf`` and tuning continues
+(pipeline_tuner.py:236-239 contract).
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+
+import numpy as np
+
+from ..evaluation import HoldoutModelEvaluator
+from ..utils.simulation import simulate
+from .bo import BatchBayesOpt
+from .model_tuner import ModelTuner
+
+PipelineTuneResult = namedtuple(
+    "PipelineTuneResult",
+    [
+        "inc_cfg", "cfgs", "inc_cfgs", "costs", "inc_costs",
+        "truedyn_costs", "inc_truedyn_costs", "surr_trajs",
+        "truedyn_trajs", "surr_tune_result",
+    ],
+)
+"""Tuning history (pipeline_tuner.py:19-77 semantics)."""
+
+
+def _autoselect_factories():
+    from ..sysid import (
+        ARXFactory,
+        ApproximateGPModelFactory,
+        KoopmanFactory,
+        MLPFactory,
+        SINDyFactory,
+    )
+
+    return [MLPFactory, SINDyFactory, ApproximateGPModelFactory, ARXFactory,
+            KoopmanFactory]
+
+
+class PipelineTuner:
+    """Tunes SysID+MPC pipelines."""
+
+    def __init__(
+        self,
+        surrogate_mode="defaultcfg",
+        surrogate_factory=None,
+        surrogate_split=None,
+        surrogate_cfg=None,
+        surrogate_evaluator=None,
+        surrogate_tune_holdout=0.25,
+        surrogate_tune_metric="rmse",
+        eval_batch: int = 4,
+    ):
+        """``surrogate_mode``: one of "defaultcfg", "fixedcfg",
+        "autotune", "autoselect", "pretrain"
+        (pipeline_tuner.py:116-149)."""
+        self.surrogate_mode = surrogate_mode
+        self.surrogate_factory = surrogate_factory
+        self.surrogate_split = surrogate_split
+        self.surrogate_cfg = surrogate_cfg
+        self.surrogate_evaluator = surrogate_evaluator
+        self.surrogate_tune_holdout = surrogate_tune_holdout
+        self.surrogate_tune_metric = surrogate_tune_metric
+        self.eval_batch = int(eval_batch)
+
+    def _get_surrogate(self, pipeline, trajs, rng, surrogate_tune_iters):
+        surrogate_tune_result = None
+        if self.surrogate_mode == "defaultcfg":
+            cs = self.surrogate_factory.get_configuration_space()
+            surrogate = self.surrogate_factory(cs.get_default_configuration(), trajs)
+        elif self.surrogate_mode == "fixedcfg":
+            surrogate = self.surrogate_factory(self.surrogate_cfg, trajs)
+        elif self.surrogate_mode in ("autotune", "autoselect"):
+            evaluator = self.surrogate_evaluator
+            if evaluator is None:
+                evaluator = HoldoutModelEvaluator(
+                    system=pipeline.system,
+                    trajs=trajs,
+                    metric=self.surrogate_tune_metric,
+                    rng=rng,
+                    holdout_prop=self.surrogate_tune_holdout,
+                )
+            model_tuner = ModelTuner(pipeline.system, evaluator,
+                                     eval_batch=self.eval_batch)
+            if self.surrogate_mode == "autotune":
+                model_tuner.add_model_factory(self.surrogate_factory)
+            else:
+                for factory_cls in _autoselect_factories():
+                    model_tuner.add_model_factory(factory_cls(pipeline.system))
+            surrogate, surrogate_tune_result = model_tuner.run(
+                rng, n_iters=surrogate_tune_iters
+            )
+        else:
+            raise ValueError(f"Unknown surrogate_mode {self.surrogate_mode}")
+        return surrogate, surrogate_tune_result
+
+    def run(
+        self,
+        pipeline,
+        task,
+        trajs,
+        n_iters,
+        rng,
+        surrogate=None,
+        truedyn=None,
+        surrogate_tune_iters=100,
+        eval_cfg_hook=None,
+    ):
+        """Run tuning; returns (final controller, PipelineTuneResult)."""
+        trajs = list(trajs) if not hasattr(trajs, "to_list") else trajs.to_list()
+        if surrogate is None:
+            surr_size = int(self.surrogate_split * len(trajs))
+            shuffled = trajs[:]
+            rng.shuffle(shuffled)
+            surr_trajs_set = shuffled[:surr_size]
+            sysid_trajs = shuffled[surr_size:]
+            surrogate, surr_tune_result = self._get_surrogate(
+                pipeline, surr_trajs_set, rng, surrogate_tune_iters
+            )
+        else:
+            sysid_trajs = trajs
+            surr_tune_result = None
+
+        def eval_cfg(cfg):
+            info = {}
+            try:
+                controller, new_task, model = pipeline(cfg, task, sysid_trajs)
+                controller.reset()
+                if task.has_num_steps():
+                    surr_traj = simulate(
+                        controller, task.get_init_obs(), task.term_cond,
+                        sim_model=surrogate, max_steps=task.get_num_steps(),
+                    )
+                else:
+                    surr_traj = simulate(
+                        controller, task.get_init_obs(), task.term_cond,
+                        sim_model=surrogate,
+                    )
+                cost = task.get_cost()
+                surr_cost = float(cost(surr_traj))
+                if not np.isfinite(surr_cost):
+                    surr_cost = float("inf")
+                info["surr_cost"] = surr_cost
+                info["surr_traj"] = surr_traj
+            except (np.linalg.LinAlgError, FloatingPointError, ValueError):
+                surr_cost = float("inf")
+                info["surr_cost"] = surr_cost
+                info["surr_traj"] = None
+                model = None
+
+            if truedyn is not None and model is not None:
+                try:
+                    controller, _, _ = pipeline(cfg, task, sysid_trajs, model=model)
+                    controller.reset()
+                    if task.has_num_steps():
+                        truedyn_traj = simulate(
+                            controller, task.get_init_obs(), task.term_cond,
+                            dynamics=truedyn, max_steps=task.get_num_steps(),
+                        )
+                    else:
+                        truedyn_traj = simulate(
+                            controller, task.get_init_obs(), task.term_cond,
+                            dynamics=truedyn,
+                        )
+                    info["truedyn_cost"] = float(task.get_cost()(truedyn_traj))
+                    info["truedyn_traj"] = truedyn_traj
+                except (np.linalg.LinAlgError, FloatingPointError, ValueError):
+                    info["truedyn_cost"] = float("inf")
+                    info["truedyn_traj"] = None
+            if eval_cfg_hook is not None:
+                eval_cfg_hook(cfg, info)
+            return surr_cost, info
+
+        space = pipeline.get_configuration_space()
+        bo = BatchBayesOpt(space, rng=rng, batch_size=self.eval_batch)
+
+        cfgs, costs, infos = [], [], []
+        remaining = int(n_iters)
+        while remaining > 0:
+            batch = bo.ask(min(self.eval_batch, remaining))
+            batch_costs = []
+            for cfg in batch:
+                c, info = eval_cfg(cfg)
+                batch_costs.append(c)
+                infos.append(info)
+            bo.tell(batch, batch_costs)
+            cfgs.extend(batch)
+            costs.extend(batch_costs)
+            remaining -= len(batch)
+
+        # Reconstruct incumbent history (pipeline_tuner.py:277-303).
+        inc_cost = float("inf")
+        inc_cfg = None
+        inc_truedyn_cost = float("inf")
+        inc_cfgs, inc_costs = [], []
+        truedyn_costs, inc_truedyn_costs = [], []
+        surr_trajs, truedyn_trajs = [], []
+        for cfg, cost, info in zip(cfgs, costs, infos):
+            if cost < inc_cost:
+                inc_cost = cost
+                inc_cfg = cfg
+                if "truedyn_cost" in info:
+                    inc_truedyn_cost = info["truedyn_cost"]
+            inc_costs.append(inc_cost)
+            inc_cfgs.append(inc_cfg)
+            surr_trajs.append(info.get("surr_traj"))
+            if "truedyn_cost" in info:
+                truedyn_costs.append(info["truedyn_cost"])
+                inc_truedyn_costs.append(inc_truedyn_cost)
+                truedyn_trajs.append(info.get("truedyn_traj"))
+
+        tune_result = PipelineTuneResult(
+            inc_cfg=inc_cfg,
+            cfgs=cfgs,
+            inc_cfgs=inc_cfgs,
+            costs=costs,
+            inc_costs=inc_costs,
+            truedyn_costs=truedyn_costs,
+            inc_truedyn_costs=inc_truedyn_costs,
+            surr_trajs=surr_trajs,
+            truedyn_trajs=truedyn_trajs,
+            surr_tune_result=surr_tune_result,
+        )
+
+        controller, _, _ = pipeline(inc_cfg, task, sysid_trajs)
+        return controller, tune_result

@@ -1,0 +1,97 @@
+"""Headline benchmark: full iLQR cartpole solves per second per chip.
+
+Measures the BASELINE.json north-star metric — complete iLQR solves
+(horizon H=200, the reference's full solver budget: <=50 iterations,
+10-alpha line search, tolerance 1e-3; autompc/control/ilqr.py:100-101)
+on the cartpole swing-up with a trained SINDy dynamics model, batched
+via vmap on one chip.
+
+Prints one JSON line:
+    {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
+vs_baseline is value / 1000 (the >=1000 solves/s/chip target; the
+reference's own tooling publishes no throughput numbers, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
+    from autompc_tpu.control.ilqr import make_ilqr_solver
+    from autompc_tpu.costs import QuadCost
+    from autompc_tpu.sysid import SINDy
+
+    benchmark = CartpoleSwingupBenchmark()
+    system = benchmark.system
+
+    # Train the flagship SINDy model (trig library recovers the true
+    # cartpole dynamics structure).
+    trajs = benchmark.gen_trajs_batch(seed=42, n_trajs=50, traj_len=100)
+    model = SINDy(
+        system, method="lstsq", threshold=1e-3,
+        trig_basis=True, trig_freq=1, trig_interaction=True,
+        time_mode="discrete",
+    )
+    model.train(trajs)
+    params = model.params
+
+    cost = QuadCost(
+        system,
+        jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01])),
+        0.001 * jnp.eye(1),
+        jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01])),
+        goal=jnp.zeros(4),
+    )
+
+    H = 200
+    bounds = benchmark.task.get_ctrl_bounds()
+    solve = make_ilqr_solver(
+        model.pred_core, cost,
+        H=H, ds=4, dc=1, obsdim=4, dt=system.dt,
+        ubounds=(bounds[:, 0], bounds[:, 1]),
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    batch_solve = jax.jit(jax.vmap(solve, in_axes=(None, 0, 0)))
+
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(
+        rng.uniform(-1, 1, (B, 4)) * np.array([3.1, 1.0, 1.0, 1.0])
+    )
+    uguess = jnp.zeros((B, H, 1))
+
+    # Warmup / compile.
+    out = batch_solve(params, x0s, uguess)
+    jax.block_until_ready(out)
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    start = time.perf_counter()
+    for r in range(reps):
+        x0r = x0s + 0.01 * r
+        out = batch_solve(params, x0r, uguess)
+        jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    solves_per_s = B * reps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "ilqr_cartpole_solves_per_s_per_chip_H200",
+                "value": round(solves_per_s, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Tuner tests: BO core, model tuner, pipeline tuner (configs[4] shape)."""
+
+import numpy as np
+import pytest
+
+import autompc_tpu as ampc
+from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
+from autompc_tpu.config import (
+    ConfigurationSpace,
+    UniformFloatHyperparameter,
+)
+from autompc_tpu.control import IterativeLQRFactory
+from autompc_tpu.costs import QuadCostFactory
+from autompc_tpu.evaluation import HoldoutModelEvaluator
+from autompc_tpu.pipeline import Pipeline
+from autompc_tpu.sysid import ARXFactory, SINDy, SINDyFactory
+from autompc_tpu.tuning import (
+    BatchBayesOpt,
+    ModelTuner,
+    PipelineTuner,
+    RandomForestSurrogate,
+)
+
+
+class TestRandomForest:
+    def test_fits_simple_function(self):
+        rng = np.random.default_rng(0)
+        X = rng.uniform(0, 1, (200, 3))
+        y = 3 * X[:, 0] + np.sin(6 * X[:, 1])
+        rf = RandomForestSurrogate(rng=rng).fit(X, y)
+        mu, sigma = rf.predict(X[:50])
+        resid = np.abs(mu - y[:50])
+        assert resid.mean() < 0.3
+        assert (sigma >= 0).all()
+
+
+class TestBatchBayesOpt:
+    def _space(self):
+        cs = ConfigurationSpace()
+        cs.add_hyperparameter(UniformFloatHyperparameter("x", 0.0, 1.0, 0.5))
+        cs.add_hyperparameter(UniformFloatHyperparameter("y", 0.0, 1.0, 0.5))
+        return cs
+
+    def test_minimizes_quadratic(self):
+        space = self._space()
+        rng = np.random.default_rng(1)
+        bo = BatchBayesOpt(space, rng=rng, batch_size=8, n_candidates=300)
+
+        def f(cfg):
+            return (cfg["x"] - 0.3) ** 2 + (cfg["y"] - 0.7) ** 2
+
+        for _ in range(8):
+            batch = bo.ask()
+            bo.tell(batch, [f(c) for c in batch])
+        inc, cost = bo.incumbent
+        assert cost < 0.01
+        assert abs(inc["x"] - 0.3) < 0.15
+
+    def test_handles_inf_costs(self):
+        space = self._space()
+        bo = BatchBayesOpt(space, rng=np.random.default_rng(2), batch_size=4)
+        for _ in range(6):
+            batch = bo.ask()
+            costs = [
+                float("inf") if c["x"] > 0.5 else (c["x"] - 0.25) ** 2
+                for c in batch
+            ]
+            bo.tell(batch, costs)
+        inc, cost = bo.incumbent
+        assert np.isfinite(cost)
+        assert inc["x"] <= 0.5
+
+    def test_first_proposal_is_default(self):
+        space = self._space()
+        bo = BatchBayesOpt(space, rng=np.random.default_rng(3), batch_size=3)
+        batch = bo.ask()
+        assert batch[0]["x"] == 0.5 and batch[0]["y"] == 0.5
+
+
+@pytest.fixture(scope="module")
+def benchmark():
+    return CartpoleSwingupBenchmark()
+
+
+@pytest.fixture(scope="module")
+def trajs(benchmark):
+    return benchmark.gen_trajs(seed=42, n_trajs=40, traj_len=60)
+
+
+class TestModelTuner:
+    def test_tunes_and_selects(self, benchmark, trajs):
+        rng = np.random.default_rng(5)
+        evaluator = HoldoutModelEvaluator(
+            system=benchmark.system, trajs=trajs, metric="rmse", rng=rng,
+            holdout_prop=0.25,
+        )
+        tuner = ModelTuner(benchmark.system, evaluator, eval_batch=3)
+        tuner.add_model_factory(ARXFactory(benchmark.system))
+        tuner.add_model_factory(SINDyFactory(benchmark.system))
+        model, result = tuner.run(rng, n_iters=6)
+        assert model is not None
+        assert len(result.costs) == 6
+        assert result.inc_costs[-1] == min(result.costs)
+        # incumbent cost monotone nonincreasing
+        assert all(
+            a >= b for a, b in zip(result.inc_costs, result.inc_costs[1:])
+        )
+
+    def test_union_space_structure(self, benchmark):
+        tuner = ModelTuner(benchmark.system, None)
+        tuner.add_model_factory(ARXFactory(benchmark.system))
+        tuner.add_model_factory(SINDyFactory(benchmark.system))
+        space = tuner._build_space()
+        cfg = space.get_default_configuration()
+        assert "model" in cfg
+        cfg["model"] = "ARX"
+        assert "_ARX:history" in cfg
+        assert "_SINDy:method" not in cfg
+        cfg["model"] = "SINDy"
+        assert "_SINDy:method" in cfg
+        assert "_ARX:history" not in cfg
+
+
+class TestPipelineTuner:
+    def test_small_pipeline_tune(self, benchmark, trajs):
+        """End-to-end AutoML smoke run: SINDy + QuadCost + iLQR tuned
+        against a SINDy surrogate, 4 iterations."""
+        rng = np.random.default_rng(7)
+        pipeline = Pipeline(
+            benchmark.system,
+            SINDyFactory(benchmark.system),
+            QuadCostFactory(benchmark.system),
+            IterativeLQRFactory(benchmark.system),
+        )
+        # Fix the SINDy subspace to a known-good config to keep shapes
+        # small and runs fast.
+        tuner = PipelineTuner(
+            surrogate_mode="defaultcfg",
+            surrogate_factory=SINDyFactory(benchmark.system),
+            surrogate_split=0.5,
+            eval_batch=2,
+        )
+        controller, result = tuner.run(
+            pipeline, benchmark.task, trajs, n_iters=4, rng=rng,
+        )
+        assert controller is not None
+        assert len(result.costs) == 4
+        assert np.isfinite(result.inc_costs[-1]) or result.inc_costs[-1] == float("inf")
+        assert result.inc_cfg is not None
+        # surrogate trajectories recorded
+        assert len(result.surr_trajs) == 4
