@@ -48,6 +48,7 @@ def make_ilqr_solver(
     ls_max_iter: int = 10,
     ls_discount: float = 0.2,
     ls_cost_threshold: float = 0.3,
+    unroll: int = 8,
 ):
     """Build a jittable iLQR solve:
     ``solve(params, x0, uguess) -> (converged, xs, us, Ks, ks)``.
@@ -72,7 +73,7 @@ def make_ilqr_solver(
             ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
             return pred, (pred, jx, ju)
 
-        _, (xs1, Jx, Ju) = jax.lax.scan(step, x0, us)
+        _, (xs1, Jx, Ju) = jax.lax.scan(step, x0, us, unroll=unroll)
         return jnp.concatenate([x0[None], xs1], axis=0), Jx, Ju
 
     def relinearize(params, xs, us):
@@ -109,7 +110,9 @@ def make_ilqr_solver(
                 x1 = pred_core(params, x, u)
                 return x1, (x1, u)
 
-            _, (xs1, us1) = jax.lax.scan(step, x0, (xs[:H], us, Ks, ks))
+            _, (xs1, us1) = jax.lax.scan(
+                step, x0, (xs[:H], us, Ks, ks), unroll=unroll
+            )
             return jnp.concatenate([x0[None], xs1], axis=0), us1
 
         return jax.vmap(rollout)(alphas)
@@ -141,7 +144,7 @@ def make_ilqr_solver(
             vn = jnp.zeros(ds).at[:obsdim].set(tg)
             Cxx, Cuu, cx, cu = stage_expansions(xs, us)
             Ks, ks, lin_red, quad_red = tvlqr_backward_scan(
-                c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn
+                c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn, unroll=unroll
             )
             ks_norm = jnp.linalg.norm(ks)
 

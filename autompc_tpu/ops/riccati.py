@@ -74,7 +74,7 @@ def infinite_horizon_lqr(A, B, Q, R, N=None, threshold=1e-3, max_iter=10000):
 # ---------------------------------------------------------------------------
 
 
-def tvlqr_backward_scan(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn):
+def tvlqr_backward_scan(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn, unroll=1):
     """Sequential time-varying LQR backward pass as one ``lax.scan``.
 
     Mirrors the reference iLQR backward recursion (ilqr.py:165-187):
@@ -121,7 +121,8 @@ def tvlqr_backward_scan(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn):
 
     zero = jnp.zeros((), dtype=Vn.dtype)
     (V, v, lin_red, quad_red), (Ks, ks) = jax.lax.scan(
-        step, (Vn, vn, zero, zero), (Jacs_x, Jacs_u, Cxx, Cuu, cx, cu), reverse=True
+        step, (Vn, vn, zero, zero), (Jacs_x, Jacs_u, Cxx, Cuu, cx, cu),
+        reverse=True, unroll=unroll,
     )
     return Ks, ks, lin_red, quad_red
 

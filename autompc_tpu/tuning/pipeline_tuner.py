@@ -119,8 +119,14 @@ class PipelineTuner:
         truedyn=None,
         surrogate_tune_iters=100,
         eval_cfg_hook=None,
+        checkpoint_path=None,
     ):
-        """Run tuning; returns (final controller, PipelineTuneResult)."""
+        """Run tuning; returns (final controller, PipelineTuneResult).
+
+        With ``checkpoint_path``, the tuner snapshots its full state
+        after every evaluated batch and resumes from an existing
+        snapshot (first-class resume; the reference's SMAC runs are not
+        resumable, SURVEY §5)."""
         trajs = list(trajs) if not hasattr(trajs, "to_list") else trajs.to_list()
         if surrogate is None:
             surr_size = int(self.surrogate_split * len(trajs))
@@ -189,7 +195,25 @@ class PipelineTuner:
         bo = BatchBayesOpt(space, rng=rng, batch_size=self.eval_batch)
 
         cfgs, costs, infos = [], [], []
-        remaining = int(n_iters)
+        if checkpoint_path is not None:
+            import os
+
+            from ..utils.checkpoint import (
+                bo_load_state,
+                load_checkpoint,
+                save_checkpoint,
+            )
+
+            if os.path.exists(checkpoint_path):
+                snap = load_checkpoint(checkpoint_path)
+                bo_load_state(bo, snap["bo"])
+                cfgs = [
+                    space.configuration_from_dict(d) for d in snap["cfg_dicts"]
+                ]
+                costs = list(snap["costs"])
+                infos = [{"surr_cost": c, "surr_traj": None} for c in costs]
+
+        remaining = int(n_iters) - len(costs)
         while remaining > 0:
             batch = bo.ask(min(self.eval_batch, remaining))
             batch_costs = []
@@ -201,6 +225,18 @@ class PipelineTuner:
             cfgs.extend(batch)
             costs.extend(batch_costs)
             remaining -= len(batch)
+            if checkpoint_path is not None:
+                from ..utils.checkpoint import bo_state_dict, save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_path,
+                    {
+                        "kind": "pipeline_tune",
+                        "bo": bo_state_dict(bo),
+                        "cfg_dicts": [c.get_dictionary() for c in cfgs],
+                        "costs": list(costs),
+                    },
+                )
 
         # Reconstruct incumbent history (pipeline_tuner.py:277-303).
         inc_cost = float("inf")

@@ -1,0 +1,102 @@
+"""Halfcheetah benchmark tests (planar multibody oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import autompc_tpu as ampc
+from autompc_tpu.benchmarks.halfcheetah import (
+    HalfcheetahBenchmark,
+    HalfcheetahCost,
+    halfcheetah_dynamics,
+)
+
+
+@pytest.fixture(scope="module")
+def benchmark():
+    return HalfcheetahBenchmark()
+
+
+class TestDynamics:
+    def test_passive_settles(self, benchmark):
+        x = jnp.asarray(benchmark.task.get_init_obs())
+        step = jax.jit(lambda x: halfcheetah_dynamics(x, jnp.zeros(6)))
+        for _ in range(150):
+            x = step(x)
+        assert bool(jnp.isfinite(x).all())
+        # settles standing on the ground with little residual motion
+        assert 0.3 < float(x[1]) < 0.9
+        assert float(jnp.linalg.norm(x[9:])) < 5.0
+
+    def test_random_controls_bounded(self, benchmark):
+        x = jnp.asarray(benchmark.task.get_init_obs())
+        key = jax.random.PRNGKey(0)
+        step = jax.jit(halfcheetah_dynamics)
+        for _ in range(100):
+            key, k = jax.random.split(key)
+            x = step(x, jax.random.uniform(k, (6,), minval=-1, maxval=1))
+        assert bool(jnp.isfinite(x).all())
+        assert abs(float(x[1])) < 3.0  # no launch into space
+
+    def test_differentiable(self, benchmark):
+        x = jnp.asarray(benchmark.task.get_init_obs())
+        u = 0.1 * jnp.ones(6)
+        jac = jax.jacfwd(lambda xx: halfcheetah_dynamics(xx, u))(x)
+        assert jac.shape == (18, 18)
+        assert bool(jnp.isfinite(jac).all())
+
+    def test_actuation_moves_cheetah(self, benchmark):
+        """Sustained asymmetric torques produce net horizontal motion."""
+        x = jnp.asarray(benchmark.task.get_init_obs())
+        step = jax.jit(halfcheetah_dynamics)
+        key = jax.random.PRNGKey(3)
+        for i in range(120):
+            key, k = jax.random.split(key)
+            u = jax.random.uniform(k, (6,), minval=-1, maxval=1)
+            x = step(x, u)
+        assert abs(float(x[0])) > 0.05
+
+
+class TestBenchmark:
+    def test_spec(self, benchmark):
+        assert benchmark.system.obs_dim == 18
+        assert benchmark.system.ctrl_dim == 6
+        assert benchmark.task.get_num_steps() == 200
+        bounds = benchmark.task.get_ctrl_bounds()
+        np.testing.assert_array_equal(bounds[:, 0], -1.0)
+        np.testing.assert_array_equal(bounds[:, 1], 1.0)
+
+    def test_gen_trajs(self, benchmark):
+        tb = benchmark.gen_trajs_batch(seed=0, n_trajs=3, traj_len=20)
+        assert tb.obs.shape == (3, 20, 18)
+        assert np.isfinite(np.asarray(tb.obs)).all()
+
+    def test_cost_metric(self, benchmark):
+        """Cost = 200 - (run reward + ctrl reward); forward motion is
+        rewarded (halfcheetah.py:213-228 semantics)."""
+        system = benchmark.system
+        T = 10
+        obs_fwd = np.zeros((T, 18))
+        obs_fwd[:, 0] = np.linspace(0, 1.0, T)  # moves forward
+        ctrls = np.zeros((T, 6))
+        traj_fwd = ampc.from_arrays(system, obs_fwd, ctrls)
+        traj_still = ampc.from_arrays(system, np.zeros((T, 18)), ctrls)
+        cost = benchmark.task.get_cost()
+        assert float(cost(traj_fwd)) < float(cost(traj_still))
+        assert float(cost(traj_still)) == pytest.approx(200.0)
+
+    def test_mlp_learns_dynamics(self, benchmark):
+        """Sanity slice toward configs[4]: an MLP surrogate beats the
+        persistence baseline on halfcheetah transitions."""
+        from autompc_tpu.sysid import MLP
+
+        tb = benchmark.gen_trajs_batch(seed=1, n_trajs=20, traj_len=40)
+        model = MLP(benchmark.system, n_hidden_layers=2, hidden_size=64,
+                    n_train_iters=30, n_batch=128)
+        model.train(tb)
+        holdout = benchmark.gen_trajs_batch(seed=9, n_trajs=2, traj_len=30)[0]
+        preds = model.pred_batch(holdout.obs[:-1], holdout.ctrls[:-1])
+        errs = np.abs(np.asarray(preds) - np.asarray(holdout.obs[1:]))
+        deltas = np.abs(np.diff(np.asarray(holdout.obs), axis=0))
+        assert errs.mean() < 0.8 * deltas.mean()
