@@ -13,6 +13,23 @@ import jax
 import jax.numpy as jnp
 
 
+def solve_small(A, b):
+    """Linear solve specialized for the tiny control-dimension systems
+    MPC produces: closed forms for 1x1/2x2 (a general LU lowers to a
+    far more expensive kernel than a reciprocal on TPU), LU fallback
+    otherwise."""
+    n = A.shape[0]
+    if n == 1:
+        return b / A[0, 0]
+    if n == 2:
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        inv = (
+            jnp.array([[A[1, 1], -A[0, 1]], [-A[1, 0], A[0, 0]]]) / det
+        )
+        return inv @ b
+    return jnp.linalg.solve(A, b)
+
+
 def dynamic_riccati_step(P, A, B, Q, R, N):
     """One step of the discrete-time dynamic Riccati equation
     (lqr.py:15-20 semantics)."""
@@ -111,8 +128,8 @@ def tvlqr_backward_scan(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn, unroll=1):
         Qux = JuV @ Jx
         qx_t = qx + Jx.T @ v
         qu_t = ru + Ju.T @ v
-        K = -jnp.linalg.solve(Quu, Qux)
-        k = -jnp.linalg.solve(Quu, qu_t)
+        K = -solve_small(Quu, Qux)
+        k = -solve_small(Quu, qu_t)
         lin_red = lin_red + qu_t @ k
         quad_red = quad_red + k @ Quu @ k
         V_new = Qxx + Qux.T @ K + K.T @ Qux + K.T @ Quu @ K

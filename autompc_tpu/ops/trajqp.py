@@ -21,6 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .riccati import solve_small
+
 
 def qp_backward(A_seq, B_seq, Cxx, Cuu, Cux, cx, cu, d_seq, Vf, vf, reg=1e-8):
     """Backward factorization of the trajectory QP.
@@ -50,8 +52,8 @@ def qp_backward(A_seq, B_seq, Cxx, Cuu, Cux, cx, cu, d_seq, Vf, vf, reg=1e-8):
         Qux = Qux_c + BtV @ A
         qx = qx_c + A.T @ v_eff
         qu = qu_c + B.T @ v_eff
-        K = -jnp.linalg.solve(Quu, Qux)
-        k = -jnp.linalg.solve(Quu, qu)
+        K = -solve_small(Quu, Qux)
+        k = -solve_small(Quu, qu)
         V_new = Qxx + Qux.T @ K + K.T @ Qux + K.T @ Quu @ K
         V_new = 0.5 * (V_new + V_new.T)
         v_new = qx + Qux.T @ k + K.T @ (qu + Quu @ k)

@@ -59,7 +59,7 @@ def main():
         ubounds=(bounds[:, 0], bounds[:, 1]),
     )
 
-    B = int(os.environ.get("BENCH_BATCH", "256"))
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
     batch_solve = jax.jit(jax.vmap(solve, in_axes=(None, 0, 0)))
 
     rng = np.random.default_rng(0)
@@ -69,8 +69,14 @@ def main():
     uguess = jnp.zeros((B, H, 1))
 
     # Warmup / compile.
+    t0 = time.perf_counter()
     out = batch_solve(params, x0s, uguess)
     jax.block_until_ready(out)
+    print(
+        f"[bench] compile+first run: {time.perf_counter() - t0:.1f}s "
+        f"(B={B})",
+        file=sys.stderr,
+    )
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     start = time.perf_counter()
@@ -79,6 +85,11 @@ def main():
         out = batch_solve(params, x0r, uguess)
         jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
+    print(
+        f"[bench] {reps} reps in {elapsed:.2f}s "
+        f"({elapsed / reps:.3f}s per batched solve)",
+        file=sys.stderr,
+    )
 
     solves_per_s = B * reps / elapsed
     print(
