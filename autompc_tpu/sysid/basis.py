@@ -114,20 +114,37 @@ def trig_interaction_terms(n_inputs: int, freq: int) -> List[Term]:
 
 
 class FeatureLibrary:
-    """A static list of scalar feature terms over a combined input vector,
-    evaluated as one vectorized map."""
+    """A static list of feature terms over a combined input vector.
 
-    def __init__(self, terms: Sequence[Term]):
+    Evaluation is organized in vectorized *blocks* (identity, per-freq
+    trig, per-freq trig interactions, per-degree powers, cross terms):
+    each block is a handful of whole-array ops along the last axis
+    instead of one traced op per scalar term. Inside an MPC rollout scan
+    this is the difference between ~40 tiny VPU ops per step and ~8
+    fused array ops followed by one feature-matrix matmul on the MXU —
+    the feature evaluation sits on the hot path of every SINDy-backed
+    solver (iLQR line search, MPPI rollouts, DT defects).
+
+    Block functions operate on the last axis, so the same code path
+    serves single vectors (d,), batches (N, d), and arbitrary vmapped
+    shapes. Term order matches the scalar enumeration (`self.names`), so
+    coefficient layouts are interchangeable.
+    """
+
+    def __init__(self, terms: Sequence[Term], blocks=None):
         self.names = [t[0] for t in terms]
         self._fns = [t[1] for t in terms]
+        self._blocks = blocks  # list of callables Z -> (..., k)
 
     @property
     def n_features(self) -> int:
         return len(self._fns)
 
     def __call__(self, z):
-        """z: (n_inputs,) -> (n_features,). Traceable."""
-        return jnp.stack([fn(z) for fn in self._fns])
+        """z: (..., n_inputs) -> (..., n_features). Traceable."""
+        if self._blocks is not None:
+            return jnp.concatenate([blk(z) for blk in self._blocks], axis=-1)
+        return jnp.stack([fn(z) for fn in self._fns], axis=-1)
 
     @staticmethod
     def from_config(
@@ -144,18 +161,98 @@ class FeatureLibrary:
         interactions) per frequency 1..trig_freq; polynomial powers
         2..poly_degree (+ cross terms)."""
         terms: List[Term] = list(identity_terms(n_inputs))
+        blocks = [lambda z: z]
         if trig_basis:
             for freq in range(1, trig_freq + 1):
                 terms += trig_terms(n_inputs, freq)
+
+                def trig_blk(z, f=freq):
+                    # interleave [sin(f z0), cos(f z0), sin(f z1), ...]
+                    s = jnp.sin(f * z)
+                    c = jnp.cos(f * z)
+                    return jnp.stack([s, c], axis=-1).reshape(
+                        z.shape[:-1] + (2 * z.shape[-1],)
+                    )
+
+                blocks.append(trig_blk)
                 if trig_interaction:
                     terms += trig_interaction_terms(n_inputs, freq)
+                    pairs = list(itertools.combinations(range(n_inputs), 2))
+                    ii = np.array([p[0] for p in pairs])
+                    jj = np.array([p[1] for p in pairs])
+
+                    def inter_blk(z, f=freq, ii=ii, jj=jj):
+                        # per pair: [zi sin(f zj), zj sin(f zi),
+                        #            zi cos(f zj), zj cos(f zi)]
+                        zi = z[..., ii]
+                        zj = z[..., jj]
+                        out = jnp.stack(
+                            [
+                                zi * jnp.sin(f * zj),
+                                zj * jnp.sin(f * zi),
+                                zi * jnp.cos(f * zj),
+                                zj * jnp.cos(f * zi),
+                            ],
+                            axis=-1,
+                        )
+                        return out.reshape(z.shape[:-1] + (4 * len(ii),))
+
+                    blocks.append(inter_blk)
         if poly_basis:
             for deg in range(2, poly_degree + 1):
                 terms += poly_terms(n_inputs, deg)
+                blocks.append(lambda z, d=deg: z**d)
             if poly_cross_terms:
+                cross = []
                 for deg in range(2, poly_degree + 1):
-                    terms += cross_terms(n_inputs, deg)
-        return FeatureLibrary(terms)
+                    cross += cross_terms(n_inputs, deg)
+                terms += cross
+                # Exponent matrix reconstruction from term names would be
+                # brittle; rebuild it alongside the enumeration.
+                E = _cross_exponent_matrix(n_inputs, poly_degree)
+
+                def cross_blk(z, E=jnp.asarray(E, dtype=float)):
+                    # prod_d z_d^{E[t,d]} for each cross term t.
+                    zb = z[..., None, :]  # (..., 1, d)
+                    return jnp.prod(zb ** E, axis=-1)
+
+                if len(cross) != E.shape[0]:
+                    raise AssertionError("cross-term enumeration mismatch")
+                blocks.append(cross_blk)
+        return FeatureLibrary(terms, blocks=blocks)
+
+
+def _cross_exponent_matrix(n_inputs: int, poly_degree: int) -> np.ndarray:
+    """Exponent rows matching cross_terms enumeration for degrees
+    2..poly_degree."""
+    rows = []
+    for degree in range(2, poly_degree + 1):
+        exps = []
+        seen = set()
+
+        def compositions(total, parts):
+            if parts == 1:
+                yield (total,)
+                return
+            for first in range(1, total - parts + 2):
+                for rest in compositions(total - first, parts - 1):
+                    yield (first,) + rest
+
+        for k in range(1, degree + 1):
+            for exp in compositions(degree, k):
+                if exp not in seen:
+                    seen.add(exp)
+                    exps.append(exp)
+        for exp in exps:
+            k = len(exp)
+            if k == 1:
+                continue
+            for combo in itertools.combinations(range(n_inputs), k):
+                row = np.zeros(n_inputs)
+                for i, e in zip(combo, exp):
+                    row[i] = e
+                rows.append(row)
+    return np.array(rows) if rows else np.zeros((0, n_inputs))
 
 
 def finite_difference(x: jnp.ndarray, dt: float) -> jnp.ndarray:

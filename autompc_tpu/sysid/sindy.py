@@ -157,9 +157,10 @@ class SINDy(Model):
         n = self.system.obs_dim
         dt = self.system.dt
 
-        feats = jax.vmap(
-            jax.vmap(lambda x, u: self.library(jnp.concatenate([x, u])))
-        )(tb.obs, tb.ctrls)  # (B, T, F)
+        # Block-vectorized: one traced call over the whole (B, T, d) batch.
+        feats = self.library(
+            jnp.concatenate([tb.obs, tb.ctrls], axis=-1)
+        )  # (B, T, F)
 
         if self.time_mode == "continuous":
             if xdot is None:

@@ -194,7 +194,14 @@ class BatchBayesOpt:
             y = np.where(finite, y, penalty)
         else:
             y = np.zeros_like(y)
-        forest = RandomForestSurrogate(rng=self.rng).fit(X, y)
+        # Prefer the compiled (C++) forest; identical algorithm, much
+        # faster refit (autompc_tpu/native/rf.cpp).
+        try:
+            from ..native import make_forest
+
+            forest = make_forest(rng=self.rng).fit(X, y)
+        except Exception:
+            forest = RandomForestSurrogate(rng=self.rng).fit(X, y)
         best = float(y.min())
 
         cands = self.space.sample_configuration(self.rng, size=self.n_candidates)

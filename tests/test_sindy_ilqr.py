@@ -266,8 +266,17 @@ class TestILQRGolden:
         x0 = jnp.array([0.5, 0.0, 0.0, 0.0])
         conv, xs, us, Ks, ks = con.compute_ilqr(x0, jnp.zeros((H, 1)))
 
+        mp = model.params
+        _pred_diff_jit = jax.jit(
+            lambda s, u: (
+                model.pred_core(mp, s, u),
+                jax.jacfwd(lambda ss: model.pred_core(mp, ss, u))(s),
+                jax.jacfwd(lambda uu: model.pred_core(mp, s, uu))(u),
+            )
+        )
+
         def pred_diff(s, u):
-            p, jx, ju = model.pred_diff(jnp.asarray(s), jnp.asarray(u))
+            p, jx, ju = _pred_diff_jit(jnp.asarray(s), jnp.asarray(u))
             return np.asarray(p), np.asarray(jx), np.asarray(ju)
 
         def obs_cost_hess(x):
