@@ -1,0 +1,87 @@
+"""Profiling and tracing utilities.
+
+The reference has no systematic profiling — one ad-hoc wall-clock probe
+(reference: autompc/sysid/largegp.py:123-139 ``pred_timeit``). Here
+profiling is first-class: XLA traces via ``jax.profiler`` and honest
+wall-clock timing that blocks on device completion (naive ``time.time``
+around dispatch measures nothing under async dispatch).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/autompc_tpu_trace"):
+    """Capture an XLA profiler trace viewable in TensorBoard/Perfetto:
+
+        with profiling.trace("/tmp/trace"):
+            run_workload()
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def timeit_fn(
+    fn: Callable,
+    *args,
+    warmup: int = 1,
+    reps: int = 5,
+    name: Optional[str] = None,
+    silent: bool = False,
+):
+    """Time a jax function with device-completion blocking.
+
+    Returns (mean_seconds, result_of_last_call).
+    """
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    mean = (time.perf_counter() - start) / reps
+    if not silent:
+        label = name or getattr(fn, "__name__", "fn")
+        print(f"[timeit] {label}: {mean * 1e3:.3f} ms/call ({reps} reps)")
+    return mean, out
+
+
+class StageTimer:
+    """Accumulating named-stage wall-clock timer for pipeline phases
+    (training, solving, rollout, tuning rounds)."""
+
+    def __init__(self):
+        self.totals = {}
+        self.counts = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str, block_on=None):
+        start = time.perf_counter()
+        try:
+            yield
+        finally:
+            if block_on is not None:
+                jax.block_until_ready(block_on)
+            dt = time.perf_counter() - start
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> str:
+        lines = []
+        for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(
+                f"{name:30s} {total:8.3f}s total  {total / n * 1e3:8.2f} ms/call  x{n}"
+            )
+        return "\n".join(lines)
