@@ -207,6 +207,210 @@ def make_ilqr_solver(
     return solve
 
 
+def make_batched_ilqr_solver(
+    pred_core,
+    cost,
+    H: int,
+    ds: int,
+    dc: int,
+    obsdim: int,
+    dt: float,
+    ubounds=None,
+    u_threshold: float = 1e-3,
+    max_iter: int = 50,
+    ls_max_iter: int = 10,
+    ls_discount: float = 0.2,
+    ls_cost_threshold: float = 0.3,
+    unroll: int = 8,
+    backward: str = "pallas",
+):
+    """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
+    (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
+
+    Functionally equivalent to ``jax.vmap(make_ilqr_solver(...))`` (the
+    outer iteration is a single ``while_loop`` with per-lane activity
+    masks — exactly vmap's batching rule for while_loop), but the
+    backward pass runs on the whole batch at once, which lets it use the
+    Pallas batched Riccati kernel (ops/pallas_riccati.py, ~2.3x the XLA
+    scan at B=4096). ``backward``: "pallas" (dc=1 only; falls back
+    automatically) or "scan".
+    """
+    if ubounds is not None:
+        umin = jnp.asarray(ubounds[0])
+        umax = jnp.asarray(ubounds[1])
+
+    def clip_u(u):
+        return jnp.clip(u, umin, umax) if ubounds is not None else u
+
+    use_pallas = backward == "pallas" and dc == 1
+
+    def forward_one(params, x0, us):
+        def step(x, u):
+            pred = pred_core(params, x, u)
+            jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
+            ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
+            return pred, (pred, jx, ju)
+
+        _, (xs1, Jx, Ju) = jax.lax.scan(step, x0, us, unroll=unroll)
+        return jnp.concatenate([x0[None], xs1], axis=0), Jx, Ju
+
+    def relinearize_one(params, xs, us):
+        def one(x, u):
+            jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
+            ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
+            return jx, ju
+
+        return jax.vmap(one)(xs[:H], us)
+
+    def eval_obj_one(xs, us):
+        oc = jnp.sum(jax.vmap(lambda x: cost.eval_obs_cost(x[:obsdim]))(xs[:H]))
+        cc = jnp.sum(jax.vmap(cost.eval_ctrl_cost)(us))
+        return dt * (oc + cc) + cost.eval_term_obs_cost(xs[H, :obsdim])
+
+    def expansions_one(xs, us):
+        def one(x, u):
+            _, qx, Qh = cost.eval_obs_cost_hess(x[:obsdim])
+            _, ru, Rh = cost.eval_ctrl_cost_hess(u)
+            Cxx = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(Qh * dt)
+            cx = jnp.zeros(ds).at[:obsdim].set(qx * dt)
+            return Cxx, Rh * dt, cx, ru * dt
+
+        return jax.vmap(one)(xs[:H], us)
+
+    alphas = ls_discount ** jnp.arange(ls_max_iter)
+
+    def line_search_one(params, x0, xs, us, Ks, ks):
+        def rollout(alpha):
+            def step(x, inp):
+                xbar, ubar, K, k = inp
+                u = clip_u(alpha * k + ubar + K @ (x - xbar))
+                x1 = pred_core(params, x, u)
+                return x1, (x1, u)
+
+            _, (xs1, us1) = jax.lax.scan(
+                step, x0, (xs[:H], us, Ks, ks), unroll=unroll
+            )
+            return jnp.concatenate([x0[None], xs1], axis=0), us1
+
+        return jax.vmap(rollout)(alphas)
+
+    def solve(params, x0s, uguess):
+        B = x0s.shape[0]
+        xs0, Jx0, Ju0 = jax.vmap(lambda x, u: forward_one(params, x, u))(
+            x0s, uguess
+        )
+        obj0 = jax.vmap(eval_obj_one)(xs0, uguess)
+        carry0 = dict(
+            xs=xs0, us=uguess, Jx=Jx0, Ju=Ju0, obj=obj0,
+            Ks=jnp.zeros((B, H, dc, ds)), ks=jnp.zeros((B, H, dc)),
+            itr=jnp.array(0),
+            converged=jnp.zeros(B, dtype=bool),
+            failed=jnp.zeros(B, dtype=bool),
+        )
+
+        def cond(c):
+            active = ~c["converged"] & ~c["failed"]
+            return (c["itr"] < max_iter) & jnp.any(active)
+
+        def body(c):
+            xs, us = c["xs"], c["us"]
+            active = ~c["converged"] & ~c["failed"]
+
+            def term_one(x):
+                _, tg, th = cost.eval_term_obs_cost_hess(x[:obsdim])
+                Vn = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(th)
+                vn = jnp.zeros(ds).at[:obsdim].set(tg)
+                return Vn, vn
+
+            Vn, vn = jax.vmap(term_one)(xs[:, H])
+            Cxx, Cuu, cx, cu = jax.vmap(expansions_one)(xs, us)
+            if use_pallas:
+                from ..ops.pallas_riccati import pallas_tvlqr_backward
+
+                # Pad batch to the kernel's block size.
+                TB = min(128, B)
+                Ks, ks, lin_red, quad_red = pallas_tvlqr_backward(
+                    c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn,
+                    block_b=TB if B % TB == 0 else B,
+                )
+            else:
+                Ks, ks, lin_red, quad_red = jax.vmap(
+                    lambda *a: tvlqr_backward_scan(*a, unroll=unroll)
+                )(c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn)
+            ks_norm = jnp.sqrt(jnp.sum(ks**2, axis=(1, 2)))
+
+            ls_xs, ls_us = jax.vmap(
+                lambda x0, xs_, us_, K_, k_: line_search_one(
+                    params, x0, xs_, us_, K_, k_
+                )
+            )(x0s, xs, us, Ks, ks)
+            new_objs = jax.vmap(jax.vmap(eval_obj_one))(ls_xs, ls_us)  # (B, L)
+            expect = alphas[None, :] * lin_red[:, None] + (
+                alphas[None, :] ** 2
+            ) * quad_red[:, None] / 2
+            denom = -expect
+            ratios = jnp.where(
+                jnp.abs(denom) > 1e-30,
+                (c["obj"][:, None] - new_objs) / denom,
+                -jnp.inf,
+            )
+            accept = ratios > ls_cost_threshold
+            ks_small = ks_norm < u_threshold
+            any_acc = jnp.any(accept, axis=1)
+            first_acc = jnp.argmax(accept, axis=1)
+            chosen = jnp.where(
+                ks_small, 0,
+                jnp.where(any_acc, first_acc, jnp.argmin(new_objs, axis=1)),
+            )
+            take = jax.vmap(lambda a, i: a[i])
+            best_obj = take(new_objs, chosen)
+            ls_success = (best_obj < c["obj"]) | ks_small
+            idx_last = jnp.where(
+                ks_small, 0, jnp.where(any_acc, first_acc, ls_max_iter - 1)
+            )
+            last_obj = take(new_objs, idx_last)
+            failed_now = (~ls_success) & (last_obj > c["obj"] + 1e-3)
+
+            sel = jnp.where(ls_success, chosen, idx_last)
+            new_xs = take(ls_xs, sel)
+            new_us = take(ls_us, sel)
+            new_obj = jnp.where(ls_success, best_obj, last_obj)
+
+            Jx_lin, Ju_lin = jax.vmap(
+                lambda xs_, us_: relinearize_one(params, xs_, us_)
+            )(new_xs, new_us)
+            succ = ls_success[:, None, None, None]
+            Jx_new = jnp.where(succ, Jx_lin, c["Jx"])
+            Ju_new = jnp.where(succ, Ju_lin, c["Ju"])
+
+            du_norm = jnp.sqrt(jnp.sum((new_us - us) ** 2, axis=(1, 2)))
+            converged_now = (du_norm < u_threshold) & ~failed_now
+
+            def upd(new, old, fail_mask):
+                extra = (1,) * (new.ndim - 1)
+                act = active.reshape((-1,) + extra)
+                fl = fail_mask.reshape((-1,) + extra)
+                return jnp.where(act & ~fl, new, old)
+
+            return dict(
+                xs=upd(new_xs, xs, failed_now),
+                us=upd(new_us, us, failed_now),
+                Jx=upd(Jx_new, c["Jx"], failed_now),
+                Ju=upd(Ju_new, c["Ju"], failed_now),
+                obj=upd(new_obj, c["obj"], failed_now),
+                Ks=upd(Ks, c["Ks"], jnp.zeros_like(failed_now)),
+                ks=upd(ks, c["ks"], jnp.zeros_like(failed_now)),
+                itr=c["itr"] + 1,
+                converged=c["converged"] | (converged_now & active),
+                failed=c["failed"] | (failed_now & active),
+            )
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        return out["converged"], out["xs"], out["us"], out["Ks"], out["ks"]
+
+    return solve
+
+
 class IterativeLQRFactory(ControllerFactory):
     """Hyperparameters (ilqr.py:36-41):
 

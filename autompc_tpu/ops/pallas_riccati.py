@@ -1,0 +1,197 @@
+"""Pallas TPU kernel: batched time-varying LQR backward pass.
+
+The iLQR/DT backward recursion (the structured factorization of the
+block-tridiagonal KKT system; SURVEY §2b, ops/riccati.py:
+tvlqr_backward_scan) is a length-H sequential chain of tiny (ds x ds)
+matrix operations. Under XLA, each scan step issues a handful of small
+ops per step; this kernel instead keeps the whole batch block **resident
+in VMEM** and runs the entire recursion as one fused Mosaic program:
+
+* layout is lanes-last — every (i, j) matrix entry is a (TB,) vector of
+  batch lanes, so the 5x5-matrix algebra vectorizes across the batch on
+  the VPU instead of across the (tiny) matrix dims;
+* the control dimension is specialized to dc=1 (the dominant MPC case:
+  cartpole/pendulum benches), where the Quu solve is a reciprocal;
+* grid = batch blocks; each block's (H, ds, ds, TB) inputs are staged
+  into VMEM once, the t-loop runs with the value-function carry in
+  registers/VMEM, and gains stream back out.
+
+Correctness is pinned to ``tvlqr_backward_scan`` by tests (interpret
+mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _backward_kernel(ds, H, jx_ref, ju_ref, cxx_ref, cuu_ref, cx_ref,
+                     cu_ref, vnm_ref, vnv_ref,
+                     ks_out_ref, kv_out_ref, lin_out_ref, quad_out_ref):
+    """One batch block. Shapes (lanes last, dc=1 squeezed):
+    jx (H, ds, ds, TB), ju (H, ds, TB), cxx (H, ds, ds, TB),
+    cuu (H, TB), cx (H, ds, TB), cu (H, TB), vnm (ds, ds, TB),
+    vnv (ds, TB); outs: Ks (H, ds, TB), ks (H, TB), lin/quad (1, TB)."""
+    TB = jx_ref.shape[-1]
+
+    def stack2(rows):
+        # rows: list of list of (TB,) -> (ds, ds, TB)
+        return jnp.stack([jnp.stack(r) for r in rows])
+
+    def body(i, carry):
+        t = H - 1 - i
+        V, v, lin, quad = carry
+        Jx = jx_ref[t]      # (ds, ds, TB)
+        Ju = ju_ref[t]      # (ds, TB)
+        Cxx = cxx_ref[t]
+        Cuu = cuu_ref[t]    # (TB,)
+        cx = cx_ref[t]      # (ds, TB)
+        cu = cu_ref[t]      # (TB,)
+
+        # JuV[j] = sum_k Ju[k] V[k, j]
+        JuV = [
+            sum(Ju[k] * V[k, j] for k in range(ds)) for j in range(ds)
+        ]
+        # Quu = Cuu + sum_k JuV[k] Ju[k]  (scalar per lane)
+        Quu = Cuu + sum(JuV[k] * Ju[k] for k in range(ds))
+        inv_quu = 1.0 / Quu
+        # Qux[j] = sum_k JuV[k] Jx[k, j]
+        Qux = [
+            sum(JuV[k] * Jx[k, j] for k in range(ds)) for j in range(ds)
+        ]
+        # qu = cu + Ju . v
+        qu = cu + sum(Ju[k] * v[k] for k in range(ds))
+        K = [-Qux[j] * inv_quu for j in range(ds)]
+        kff = -qu * inv_quu
+
+        lin = lin + qu * kff
+        quad = quad + kff * Quu * kff
+
+        # JxV[i][j] = sum_k Jx[k, i] V[k, j]
+        JxV = [
+            [sum(Jx[k, i_] * V[k, j] for k in range(ds)) for j in range(ds)]
+            for i_ in range(ds)
+        ]
+        # Qxx[i][j] = Cxx[i, j] + sum_k JxV[i][k] Jx[k, j]
+        Qxx = [
+            [
+                Cxx[i_, j] + sum(JxV[i_][k] * Jx[k, j] for k in range(ds))
+                for j in range(ds)
+            ]
+            for i_ in range(ds)
+        ]
+        # qx = cx + Jx' v
+        qx = [
+            cx[i_] + sum(Jx[k, i_] * v[k] for k in range(ds))
+            for i_ in range(ds)
+        ]
+        # V' = Qxx + Qux K' + K Qux' + K Quu K'  (rank-1 updates)
+        V_new = stack2(
+            [
+                [
+                    Qxx[i_][j]
+                    + Qux[i_] * K[j]
+                    + K[i_] * Qux[j]
+                    + K[i_] * K[j] * Quu
+                    for j in range(ds)
+                ]
+                for i_ in range(ds)
+            ]
+        )
+        # v' = qx + Qux k + K (qu + Quu k)
+        resid = qu + Quu * kff
+        v_new = jnp.stack(
+            [qx[i_] + Qux[i_] * kff + K[i_] * resid for i_ in range(ds)]
+        )
+
+        ks_out_ref[t] = jnp.stack(K)
+        kv_out_ref[t] = kff
+        return V_new, v_new, lin, quad
+
+    V0 = vnm_ref[...]
+    v0 = vnv_ref[...]
+    zeros = jnp.zeros((TB,), dtype=V0.dtype)
+    V, v, lin, quad = jax.lax.fori_loop(
+        0, H, body, (V0, v0, zeros, zeros)
+    )
+    lin_out_ref[0] = lin
+    quad_out_ref[0] = quad
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def pallas_tvlqr_backward(Jx, Ju, Cxx, Cuu, cx, cu, Vn, vn,
+                          block_b: int = 128, interpret: bool = False):
+    """Batched backward pass; dc must be 1.
+
+    Parameters: Jx (B, H, ds, ds), Ju (B, H, ds, 1), Cxx (B, H, ds, ds),
+    Cuu (B, H, 1, 1), cx (B, H, ds), cu (B, H, 1), Vn (B, ds, ds),
+    vn (B, ds).
+
+    Returns (Ks (B, H, 1, ds), ks (B, H, 1), lin_red (B,), quad_red (B,))
+    matching ``jax.vmap(tvlqr_backward_scan)``.
+    """
+    B, H, ds, _ = Jx.shape
+    if Ju.shape[-1] != 1:
+        raise ValueError("pallas_tvlqr_backward is specialized to dc=1")
+    TB = min(block_b, B)
+    if B % TB != 0:
+        raise ValueError(f"batch {B} must be divisible by block {TB}")
+
+    # Lanes-last relayout.
+    jx = jnp.transpose(Jx, (1, 2, 3, 0))          # (H, ds, ds, B)
+    ju = jnp.transpose(Ju[..., 0], (1, 2, 0))     # (H, ds, B)
+    cxx = jnp.transpose(Cxx, (1, 2, 3, 0))
+    cuu = jnp.transpose(Cuu[..., 0, 0], (1, 0))   # (H, B)
+    cxT = jnp.transpose(cx, (1, 2, 0))            # (H, ds, B)
+    cuT = jnp.transpose(cu[..., 0], (1, 0))       # (H, B)
+    vnm = jnp.transpose(Vn, (1, 2, 0))            # (ds, ds, B)
+    vnv = jnp.transpose(vn, (1, 0))               # (ds, B)
+
+    kernel = functools.partial(_backward_kernel, ds, H)
+    grid = (B // TB,)
+
+    def bspec(shape_prefix):
+        ndim = len(shape_prefix)
+        return pl.BlockSpec(
+            shape_prefix + (TB,),
+            lambda i, nd=ndim: (0,) * nd + (i,),
+            memory_space=pltpu.ANY if False else pltpu.VMEM,
+        )
+
+    out_shape = (
+        jax.ShapeDtypeStruct((H, ds, B), Jx.dtype),   # Ks
+        jax.ShapeDtypeStruct((H, B), Jx.dtype),       # ks
+        jax.ShapeDtypeStruct((1, B), Jx.dtype),       # lin
+        jax.ShapeDtypeStruct((1, B), Jx.dtype),       # quad
+    )
+    ksT, kvT, linT, quadT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            bspec((H, ds, ds)),
+            bspec((H, ds)),
+            bspec((H, ds, ds)),
+            bspec((H,)),
+            bspec((H, ds)),
+            bspec((H,)),
+            bspec((ds, ds)),
+            bspec((ds,)),
+        ],
+        out_specs=(
+            bspec((H, ds)),
+            bspec((H,)),
+            bspec((1,)),
+            bspec((1,)),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jx, ju, cxx, cuu, cxT, cuT, vnm, vnv)
+
+    Ks = jnp.transpose(ksT, (2, 0, 1))[:, :, None, :]   # (B, H, 1, ds)
+    ks = jnp.transpose(kvT, (1, 0))[:, :, None]         # (B, H, 1)
+    return Ks, ks, linT[0], quadT[0]

@@ -53,14 +53,26 @@ def main():
 
     H = 200
     bounds = benchmark.task.get_ctrl_bounds()
-    solve = make_ilqr_solver(
-        model.pred_core, cost,
-        H=H, ds=4, dc=1, obsdim=4, dt=system.dt,
-        ubounds=(bounds[:, 0], bounds[:, 1]),
-    )
-
     B = int(os.environ.get("BENCH_BATCH", "4096"))
-    batch_solve = jax.jit(jax.vmap(solve, in_axes=(None, 0, 0)))
+    backward = os.environ.get("BENCH_BACKWARD", "pallas")
+    if backward == "vmap":
+        solve = make_ilqr_solver(
+            model.pred_core, cost,
+            H=H, ds=4, dc=1, obsdim=4, dt=system.dt,
+            ubounds=(bounds[:, 0], bounds[:, 1]),
+        )
+        batch_solve = jax.jit(jax.vmap(solve, in_axes=(None, 0, 0)))
+    else:
+        from autompc_tpu.control.ilqr import make_batched_ilqr_solver
+
+        batch_solve = jax.jit(
+            make_batched_ilqr_solver(
+                model.pred_core, cost,
+                H=H, ds=4, dc=1, obsdim=4, dt=system.dt,
+                ubounds=(bounds[:, 0], bounds[:, 1]),
+                backward=backward,
+            )
+        )
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(

@@ -1,0 +1,81 @@
+"""Batched iLQR solver equivalence with vmap of the single solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
+from autompc_tpu.control.ilqr import make_batched_ilqr_solver, make_ilqr_solver
+from autompc_tpu.costs import QuadCost
+from autompc_tpu.sysid import SINDy
+
+
+@pytest.fixture(scope="module")
+def setup():
+    b = CartpoleSwingupBenchmark()
+    trajs = b.gen_trajs_batch(seed=42, n_trajs=60, traj_len=80)
+    model = SINDy(
+        b.system, method="lstsq", threshold=1e-3,
+        trig_basis=True, trig_freq=1, trig_interaction=True,
+        time_mode="discrete",
+    )
+    model.train(trajs)
+    cost = QuadCost(
+        b.system,
+        jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01])),
+        0.001 * jnp.eye(1),
+        jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01])),
+        goal=jnp.zeros(4),
+    )
+    bounds = b.task.get_ctrl_bounds()
+    common = dict(
+        H=8, ds=4, dc=1, obsdim=4, dt=b.system.dt,
+        ubounds=(bounds[:, 0], bounds[:, 1]), max_iter=10,
+    )
+    return b, model, cost, common
+
+
+def test_batched_matches_vmapped_single(setup):
+    b, model, cost, common = setup
+    single = make_ilqr_solver(model.pred_core, cost, **common)
+    batched = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan", **common
+    )
+    rng = np.random.default_rng(0)
+    B = 6
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 4)))
+    ug = jnp.zeros((B, common["H"], 1))
+    conv_v, xs_v, us_v, Ks_v, ks_v = jax.jit(
+        jax.vmap(single, in_axes=(None, 0, 0))
+    )(model.params, x0s, ug)
+    conv_b, xs_b, us_b, Ks_b, ks_b = jax.jit(batched)(model.params, x0s, ug)
+    np.testing.assert_array_equal(np.asarray(conv_v), np.asarray(conv_b))
+    np.testing.assert_allclose(np.asarray(us_v), np.asarray(us_b), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(xs_v), np.asarray(xs_b), atol=1e-8)
+
+
+def test_pallas_backward_matches_scan_backward(setup):
+    b, model, cost, common = setup
+    sc = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan", **common
+    )
+    pa = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="pallas", **common
+    )
+    rng = np.random.default_rng(1)
+    B = 4
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 4)))
+    ug = jnp.zeros((B, common["H"], 1))
+    # On CPU the pallas kernel runs in compiled CPU-interpret lowering
+    # only when interpret=True; here we only check both paths produce
+    # close solutions (pallas falls back gracefully off-TPU via
+    # interpret in tests).
+    try:
+        out_p = jax.jit(pa)(model.params, x0s, ug)
+    except Exception:
+        pytest.skip("pallas lowering unavailable on this backend")
+    out_s = jax.jit(sc)(model.params, x0s, ug)
+    np.testing.assert_allclose(
+        np.asarray(out_p[2]), np.asarray(out_s[2]), atol=1e-5
+    )
