@@ -223,6 +223,7 @@ def make_batched_ilqr_solver(
     ls_cost_threshold: float = 0.3,
     unroll: int = 8,
     backward: str = "pallas",
+    feature_spec=None,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
     (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
@@ -234,6 +235,12 @@ def make_batched_ilqr_solver(
     Pallas batched Riccati kernel (ops/pallas_riccati.py, ~2.3x the XLA
     scan at B=4096). ``backward``: "pallas" (dc=1 only; falls back
     automatically) or "scan".
+
+    ``feature_spec``: optional ``(term_fns_tuple, coeffs_param_key)``
+    for linear-in-features models (discrete-time SINDy/Koopman form) —
+    enables the Pallas line-search rollout kernel
+    (ops/pallas_linesearch.py). Requires dc == 1 and scalar control
+    bounds.
     """
     if ubounds is not None:
         umin = jnp.asarray(ubounds[0])
@@ -339,11 +346,23 @@ def make_batched_ilqr_solver(
                 )(c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn)
             ks_norm = jnp.sqrt(jnp.sum(ks**2, axis=(1, 2)))
 
-            ls_xs, ls_us = jax.vmap(
-                lambda x0, xs_, us_, K_, k_: line_search_one(
-                    params, x0, xs_, us_, K_, k_
+            if feature_spec is not None and dc == 1:
+                from ..ops.pallas_linesearch import pallas_sindy_line_search
+
+                term_fns, coeffs_key = feature_spec
+                TB = min(128, B)
+                ls_xs, ls_us = pallas_sindy_line_search(
+                    term_fns, x0s, xs, us, Ks, ks,
+                    params[coeffs_key], alphas,
+                    float(ubounds[0][0]), float(ubounds[1][0]),
+                    block_b=TB if B % TB == 0 else B,
                 )
-            )(x0s, xs, us, Ks, ks)
+            else:
+                ls_xs, ls_us = jax.vmap(
+                    lambda x0, xs_, us_, K_, k_: line_search_one(
+                        params, x0, xs_, us_, K_, k_
+                    )
+                )(x0s, xs, us, Ks, ks)
             new_objs = jax.vmap(jax.vmap(eval_obj_one))(ls_xs, ls_us)  # (B, L)
             expect = alphas[None, :] * lin_red[:, None] + (
                 alphas[None, :] ** 2

@@ -22,6 +22,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compilation cache: the fused solver (incl. the two
+    # Pallas kernels) takes ~10 min to compile cold on the remote-compile
+    # path; cached runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
@@ -65,12 +71,16 @@ def main():
     else:
         from autompc_tpu.control.ilqr import make_batched_ilqr_solver
 
+        feature_spec = None
+        if os.environ.get("BENCH_LS", "pallas") == "pallas":
+            feature_spec = (tuple(model.library._fns), "coeffs")
         batch_solve = jax.jit(
             make_batched_ilqr_solver(
                 model.pred_core, cost,
                 H=H, ds=4, dc=1, obsdim=4, dt=system.dt,
                 ubounds=(bounds[:, 0], bounds[:, 1]),
                 backward=backward,
+                feature_spec=feature_spec,
             )
         )
 

@@ -79,3 +79,29 @@ def test_pallas_backward_matches_scan_backward(setup):
     np.testing.assert_allclose(
         np.asarray(out_p[2]), np.asarray(out_s[2]), atol=1e-5
     )
+
+
+def test_feature_spec_ls_matches_scan_ls(setup):
+    """Batched solver with the Pallas line-search spec (interpret on
+    CPU is exercised in test_pallas_linesearch; here we check the
+    integration produces the same solve when the kernel lowers)."""
+    b, model, cost, common = setup
+    plain = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan", **common
+    )
+    with_fs = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan",
+        feature_spec=(tuple(model.library._fns), "coeffs"), **common
+    )
+    rng = np.random.default_rng(2)
+    B = 4
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 4)))
+    ug = jnp.zeros((B, common["H"], 1))
+    out_plain = jax.jit(plain)(model.params, x0s, ug)
+    try:
+        out_fs = jax.jit(with_fs)(model.params, x0s, ug)
+    except Exception:
+        pytest.skip("pallas lowering unavailable on this backend")
+    np.testing.assert_allclose(
+        np.asarray(out_fs[2]), np.asarray(out_plain[2]), atol=1e-6
+    )
