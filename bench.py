@@ -100,6 +100,14 @@ def main():
         file=sys.stderr,
     )
 
+    conv = np.asarray(out[0])
+    final_theta = np.abs(np.asarray(out[1])[:, -1, 0])
+    print(
+        f"[bench] quality: {conv.mean() * 100:.1f}% converged, "
+        f"median |final theta| {np.median(final_theta):.3f} rad",
+        file=sys.stderr,
+    )
+
     reps = int(os.environ.get("BENCH_REPS", "3"))
     start = time.perf_counter()
     for r in range(reps):

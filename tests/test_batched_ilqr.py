@@ -105,3 +105,23 @@ def test_feature_spec_ls_matches_scan_ls(setup):
     np.testing.assert_allclose(
         np.asarray(out_fs[2]), np.asarray(out_plain[2]), atol=1e-6
     )
+
+
+def test_affine_rollout_parallel_matches_scan():
+    """Associative-scan (O(log H)-depth) affine rollout equals the
+    sequential scan — the horizon-axis parallelism primitive."""
+    from autompc_tpu.ops.riccati import (
+        affine_rollout_parallel,
+        affine_rollout_scan,
+    )
+
+    rng = np.random.default_rng(0)
+    H, ds = 33, 5
+    A_seq = jnp.asarray(rng.normal(size=(H, ds, ds)) * 0.4)
+    b_seq = jnp.asarray(rng.normal(size=(H, ds)))
+    x0 = jnp.asarray(rng.normal(size=ds))
+    xs_seq = affine_rollout_scan(A_seq, b_seq, x0)
+    xs_par = affine_rollout_parallel(A_seq, b_seq, x0)
+    np.testing.assert_allclose(
+        np.asarray(xs_par), np.asarray(xs_seq), rtol=1e-9, atol=1e-9
+    )
