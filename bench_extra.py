@@ -1,0 +1,121 @@
+"""Secondary benchmark harness: the non-headline north-star metrics.
+
+- MPPI with 4096 sampled rollouts per control step (BASELINE.json):
+  control-step latency and sampled-rollout throughput;
+- per-MPC-step latency for iLQR and DirectTranscription vs the
+  cartpole real-time budget (dt = 0.05 s).
+
+Prints one JSON line per metric (bench.py remains the single-line
+headline harness for the driver).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
+    from autompc_tpu.control import MPPI, DirectTranscriptionController, IterativeLQR
+    from autompc_tpu.costs import QuadCost
+    from autompc_tpu.sysid import SINDy
+    from autompc_tpu.core.trajectory import zeros as traj_zeros
+
+    benchmark = CartpoleSwingupBenchmark()
+    system = benchmark.system
+    trajs = benchmark.gen_trajs_batch(seed=42, n_trajs=50, traj_len=100)
+    model = SINDy(
+        system, method="lstsq", threshold=1e-3,
+        trig_basis=True, trig_freq=1, trig_interaction=True,
+        time_mode="discrete",
+    )
+    model.train(trajs)
+    task = benchmark.task.copy()
+    task.set_cost(
+        QuadCost(
+            system,
+            jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01])),
+            0.001 * jnp.eye(1),
+            jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01])),
+            goal=jnp.zeros(4),
+        )
+    )
+    obs = jnp.asarray(benchmark.task.get_init_obs())
+    seed_traj = traj_zeros(system, 1)
+
+    def step_latency(controller, reps=20):
+        cstate = controller.traj_to_state(seed_traj)
+        u, cstate = controller.run(cstate, obs)  # compile
+        jax.block_until_ready(u)
+        start = time.perf_counter()
+        for _ in range(reps):
+            u, cstate = controller.run(cstate, obs)
+            jax.block_until_ready(u)
+        return (time.perf_counter() - start) / reps
+
+    results = []
+
+    # --- MPPI at the 4096-rollout north star -----------------------
+    num_path = int(os.environ.get("BENCH_MPPI_PATHS", "4096"))
+    mppi = MPPI(
+        system, task, model, horizon=20, num_path=num_path,
+        sigma=1.0, lmda=0.3,
+    )
+    lat = step_latency(mppi)
+    results.append(
+        {
+            "metric": "mppi_control_step_latency_ms",
+            "num_path": num_path,
+            "value": round(lat * 1e3, 3),
+            "unit": "ms",
+            "within_dt_budget": lat < system.dt,
+        }
+    )
+    results.append(
+        {
+            "metric": "mppi_sampled_rollouts_per_s",
+            "value": round(num_path / lat, 1),
+            "unit": "rollouts/s",
+        }
+    )
+
+    # --- iLQR per-MPC-step latency ---------------------------------
+    ilqr = IterativeLQR(system, task, model, horizon=20)
+    lat = step_latency(ilqr, reps=10)
+    results.append(
+        {
+            "metric": "ilqr_control_step_latency_ms",
+            "value": round(lat * 1e3, 3),
+            "unit": "ms",
+            "within_dt_budget": lat < system.dt,
+        }
+    )
+
+    # --- DirectTranscription per-MPC-step latency ------------------
+    dt_con = DirectTranscriptionController(system, task, model, horizon=1)
+    lat = step_latency(dt_con, reps=10)
+    results.append(
+        {
+            "metric": "dt_sqp_control_step_latency_ms",
+            "knots": dt_con.horizon,
+            "value": round(lat * 1e3, 3),
+            "unit": "ms",
+            "within_dt_budget": lat < system.dt,
+        }
+    )
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
