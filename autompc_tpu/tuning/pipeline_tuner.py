@@ -64,10 +64,21 @@ class PipelineTuner:
         surrogate_tune_holdout=0.25,
         surrogate_tune_metric="rmse",
         eval_batch: int = 4,
+        use_fanout: bool = False,
+        mesh=None,
     ):
         """``surrogate_mode``: one of "defaultcfg", "fixedcfg",
         "autotune", "autoselect", "pretrain"
-        (pipeline_tuner.py:116-149)."""
+        (pipeline_tuner.py:116-149).
+
+        ``use_fanout=True`` enables the mesh-parallel fast path: when the
+        pipeline's model is fixed, the cost factory is a QuadCostFactory,
+        and the controller factory is IterativeLQRFactory, each ask()
+        batch is bucketed by horizon and every bucket is evaluated as
+        ONE sharded program (parallel/fanout.py) — candidate synthesis +
+        closed-loop surrogate rollout + metric, all on device. Per-
+        candidate surrogate trajectories are not recorded on this path.
+        """
         self.surrogate_mode = surrogate_mode
         self.surrogate_factory = surrogate_factory
         self.surrogate_split = surrogate_split
@@ -76,6 +87,71 @@ class PipelineTuner:
         self.surrogate_tune_holdout = surrogate_tune_holdout
         self.surrogate_tune_metric = surrogate_tune_metric
         self.eval_batch = int(eval_batch)
+        self.use_fanout = bool(use_fanout)
+        self.mesh = mesh
+
+    def _fanout_supported(self, pipeline, surrogate):
+        from ..control.ilqr import IterativeLQRFactory
+        from ..costs.quad_cost_factory import QuadCostFactory
+
+        return (
+            self.use_fanout
+            and pipeline.model is not None
+            and isinstance(pipeline.cost_factory, QuadCostFactory)
+            and isinstance(pipeline.controller_factory, IterativeLQRFactory)
+            and surrogate.state_dim == pipeline.system.obs_dim
+        )
+
+    def _eval_batch_fanout(self, pipeline, task, surrogate, cfgs, fanouts):
+        """Evaluate a batch of configurations through horizon-bucketed
+        sharded fan-outs. Returns a list of costs aligned with cfgs."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..parallel.fanout import QuadCostFanout
+
+        system = pipeline.system
+        n_steps = (task.get_num_steps() or 200) - 1
+        goal = (
+            task.get_cost().get_goal()
+            if task.get_cost() is not None and task.get_cost().has_goal
+            else np.zeros(system.obs_dim)
+        )
+
+        buckets = {}
+        for idx, cfg in enumerate(cfgs):
+            horizon = int(cfg.get("_ctrlr:horizon", 20))
+            buckets.setdefault(horizon, []).append(idx)
+
+        costs = [None] * len(cfgs)
+        for horizon, idxs in buckets.items():
+            if horizon not in fanouts:
+                fanouts[horizon] = QuadCostFanout(
+                    system, task, pipeline.model, surrogate,
+                    horizon=horizon, n_steps=n_steps, mesh=self.mesh,
+                    goal=goal,
+                )
+            Qd, Fd, Rd = [], [], []
+            for i in idxs:
+                cfg = cfgs[i]
+                Qd.append(
+                    [cfg.get(f"_cost:{o}_Q", 0.0) for o in system.observations]
+                )
+                Fd.append(
+                    [cfg.get(f"_cost:{o}_F", 0.0) for o in system.observations]
+                )
+                Rd.append(
+                    [cfg.get(f"_cost:{c}_R", 0.0) for c in system.controls]
+                )
+            batch = {
+                "Qdiag": jnp.asarray(np.array(Qd, dtype=float)),
+                "Fdiag": jnp.asarray(np.array(Fd, dtype=float)),
+                "Rdiag": jnp.asarray(np.array(Rd, dtype=float)),
+            }
+            vals = np.asarray(fanouts[horizon](batch))
+            for j, i in enumerate(idxs):
+                costs[i] = float(vals[j])
+        return costs
 
     def _get_surrogate(self, pipeline, trajs, rng, surrogate_tune_iters):
         surrogate_tune_result = None
@@ -213,14 +289,23 @@ class PipelineTuner:
                 costs = list(snap["costs"])
                 infos = [{"surr_cost": c, "surr_traj": None} for c in costs]
 
+        fanout_ok = self._fanout_supported(pipeline, surrogate)
+        fanouts = {}
         remaining = int(n_iters) - len(costs)
         while remaining > 0:
             batch = bo.ask(min(self.eval_batch, remaining))
-            batch_costs = []
-            for cfg in batch:
-                c, info = eval_cfg(cfg)
-                batch_costs.append(c)
-                infos.append(info)
+            if fanout_ok:
+                batch_costs = self._eval_batch_fanout(
+                    pipeline, task, surrogate, batch, fanouts
+                )
+                for c in batch_costs:
+                    infos.append({"surr_cost": c, "surr_traj": None})
+            else:
+                batch_costs = []
+                for cfg in batch:
+                    c, info = eval_cfg(cfg)
+                    batch_costs.append(c)
+                    infos.append(info)
             bo.tell(batch, batch_costs)
             cfgs.extend(batch)
             costs.extend(batch_costs)

@@ -149,3 +149,46 @@ class TestPipelineTuner:
         assert result.inc_cfg is not None
         # surrogate trajectories recorded
         assert len(result.surr_trajs) == 4
+
+
+class TestPipelineTunerFanout:
+    def test_fanout_matches_sequential(self, benchmark, trajs):
+        """The mesh fan-out fast path scores candidates identically to
+        the sequential simulate-based objective."""
+        from autompc_tpu.sysid import SINDy
+
+        model = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        model.train(trajs)
+        pipeline = Pipeline(
+            benchmark.system,
+            model,  # fixed model => fan-out eligible
+            QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+            IterativeLQRFactory(benchmark.system),
+        )
+        task = benchmark.task.copy()
+        task.set_num_steps(40)
+
+        seq = PipelineTuner(surrogate_mode="pretrain", eval_batch=4)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=4, use_fanout=True
+        )
+        rng1 = np.random.default_rng(3)
+        rng2 = np.random.default_rng(3)
+        _, res_seq = seq.run(
+            pipeline, task, trajs, n_iters=4, rng=rng1, surrogate=model
+        )
+        _, res_fan = fan.run(
+            pipeline, task, trajs, n_iters=4, rng=rng2, surrogate=model
+        )
+        # Same seed => same proposed configs in round 1 => same costs.
+        for cs, cf in zip(res_seq.costs, res_fan.costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=1e-6, abs=1e-6), (
+                    res_seq.costs, res_fan.costs,
+                )
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
