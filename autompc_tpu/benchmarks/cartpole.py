@@ -135,3 +135,16 @@ class CartpoleSwingupV2Benchmark(CartpoleSwingupBenchmark):
     def dynamics(self, x, u):
         # Reference quirk: v2 uses g=0.8 (cartpole_v2.py:61).
         return dt_cartpole_dynamics(x, u, self.system.dt, g=0.8, m=1, L=1, b=1.0)
+
+    def get_cached_tune_result(self):
+        """Load the shipped tune-result asset (cartpole_v2.py:146-153
+        parity; generated by a fan-out PipelineTuner run)."""
+        import os
+
+        from ..utils.checkpoint import load_checkpoint
+
+        path = os.path.join(
+            os.path.dirname(__file__),
+            "../../assets/cached_tunes/cartpole_tune_result.ckpt",
+        )
+        return load_checkpoint(path)

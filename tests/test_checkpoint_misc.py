@@ -169,3 +169,17 @@ class TestPipelineTunerCheckpoint:
         )
         assert len(res2.costs) == 4
         assert res2.costs[:2] == res1.costs
+
+
+class TestCachedTuneAsset:
+    def test_loadable_and_sane(self):
+        from autompc_tpu.benchmarks import CartpoleSwingupV2Benchmark
+
+        b = CartpoleSwingupV2Benchmark()
+        result = b.get_cached_tune_result()
+        assert result["kind"] == "pipeline_tune_result"
+        assert len(result["costs"]) == len(result["cfg_dicts"])
+        # The shipped tune found a genuinely good config on the box
+        # metric (<=200 saturation; incumbent well below).
+        assert min(result["inc_costs"]) < 100.0
+        assert "_ctrlr:horizon" in result["inc_cfg"]
