@@ -284,6 +284,50 @@ class HalfcheetahBenchmark(Benchmark):
         rng = np.random.default_rng(seed)
         return self._gen_trajs(n_trajs, traj_len, rng)
 
+    def visualize(self, fig, ax, traj, repeat=1):
+        """Matplotlib stick-figure animation of the planar cheetah
+        (replaces the reference's gym render loop,
+        halfcheetah.py:16-26)."""
+        import matplotlib.animation as animation
+
+        obs = np.asarray(traj.obs)
+
+        ax.axhline(0.0, color="k", lw=1)
+        ax.set_xlim(obs[:, 0].min() - 1.5, obs[:, 0].max() + 1.5)
+        ax.set_ylim(-0.5, 2.0)
+        ax.set_aspect("equal")
+        (torso_line,) = ax.plot([], [], "o-", lw=3)
+        (bleg_line,) = ax.plot([], [], "o-", lw=2)
+        (fleg_line,) = ax.plot([], [], "o-", lw=2)
+
+        def frame(i):
+            i = min(i % (traj.size * repeat), traj.size - 1)
+            q = jnp.asarray(obs[i, :9])
+            coms, _, contacts = _body_frames(q)
+            rear = np.asarray(contacts[2])
+            front = np.asarray(contacts[3])
+            torso_line.set_data([rear[0], front[0]], [rear[1], front[1]])
+
+            # Reconstruct leg chains from link COMs (each COM is the
+            # midpoint of its segment).
+            def chain_pts(origin, com_list):
+                pts = [np.asarray(origin)]
+                for c in com_list:
+                    tip = 2 * np.asarray(c) - pts[-1]
+                    pts.append(tip)
+                return np.array(pts)
+
+            bp = chain_pts(rear, [coms[1], coms[2], coms[3]])
+            fp = chain_pts(front, [coms[4], coms[5], coms[6]])
+            bleg_line.set_data(bp[:, 0], bp[:, 1])
+            fleg_line.set_data(fp[:, 0], fp[:, 1])
+            return torso_line, bleg_line, fleg_line
+
+        return animation.FuncAnimation(
+            fig, frame, frames=traj.size * repeat,
+            interval=self.system.dt * 1000, blit=True,
+        )
+
     @staticmethod
     def data_gen_methods():
         return ["uniform_random", "multisine", "random_walk"]

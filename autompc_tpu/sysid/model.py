@@ -81,6 +81,11 @@ class Model(ABC):
         """Map a trajectory history to the current model state."""
         raise NotImplementedError
 
+    def state_to_obs(self, state):
+        """Observation part of a model state (reference arx.py:105-107,
+        largegp.py:69-70). Default: the leading obs_dim entries."""
+        return state[: self.system.obs_dim]
+
     def update_state(self, state, new_ctrl, new_obs):
         return self.update_state_core(
             self.params, jnp.asarray(state), jnp.asarray(new_ctrl), jnp.asarray(new_obs)

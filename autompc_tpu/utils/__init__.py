@@ -1,3 +1,3 @@
 from .simulation import simulate
 from . import checkpoint
-from .make_utils import make_model, make_controller
+from .make_utils import make_model, make_controller, make_transformer

@@ -4,6 +4,11 @@ Mirrors the reference walkthrough (reference: examples/1_Basics.ipynb).
 Run: python examples/1_basics.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 import autompc_tpu as ampc

@@ -4,6 +4,11 @@ Mirrors the reference walkthrough (reference: examples/2_Models.ipynb).
 Run: python examples/2_models.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 from autompc_tpu.benchmarks import CartpoleSwingupBenchmark

@@ -7,6 +7,11 @@ Run: python examples/4_parallel_tuning.py
 (on CPU: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -6,6 +6,11 @@ Mirrors the reference main demo (reference: examples/0_MainDemo.ipynb,
 candidates in parallel. Run: python examples/5_tuning.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
