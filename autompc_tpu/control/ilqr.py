@@ -224,6 +224,7 @@ def make_batched_ilqr_solver(
     unroll: int = 8,
     backward: str = "pallas",
     feature_spec=None,
+    analytic_jac: bool = False,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
     (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
@@ -236,11 +237,14 @@ def make_batched_ilqr_solver(
     scan at B=4096). ``backward``: "pallas" (dc=1 only; falls back
     automatically) or "scan".
 
-    ``feature_spec``: optional ``(term_fns_tuple, coeffs_param_key)``
+    ``feature_spec``: optional ``(feature_library, coeffs_param_key)``
     for linear-in-features models (discrete-time SINDy/Koopman form) —
     enables the Pallas line-search rollout kernel
     (ops/pallas_linesearch.py). Requires dc == 1 and scalar control
-    bounds.
+    bounds. ``analytic_jac=True`` additionally uses the library's
+    closed-form feature Jacobians for the forward/relinearization
+    passes (measured a wash vs jacfwd on TPU for the block-vectorized
+    library; kept as an option).
     """
     if ubounds is not None:
         umin = jnp.asarray(ubounds[0])
@@ -251,7 +255,35 @@ def make_batched_ilqr_solver(
 
     use_pallas = backward == "pallas" and dc == 1
 
+    def relinearize_one(params, xs, us):
+        if analytic_jac and feature_spec is not None:
+            # Linear-in-features: Jacobian = coeffs @ dTheta/dz with the
+            # library's analytic feature Jacobian (one feature-eval of
+            # work instead of jacfwd's d pushforwards).
+            library, coeffs_key = feature_spec
+            z = jnp.concatenate([xs[:H], us], axis=-1)
+            Jth = library.jacobian(z)                      # (H, F, ds+dc)
+            jac = jnp.einsum("hfd,sf->hsd", Jth, params[coeffs_key])
+            return jac[..., :ds], jac[..., ds:]
+
+        def one(x, u):
+            jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
+            ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
+            return jx, ju
+
+        return jax.vmap(one)(xs[:H], us)
+
     def forward_one(params, x0, us):
+        if analytic_jac and feature_spec is not None:
+            def step(x, u):
+                pred = pred_core(params, x, u)
+                return pred, pred
+
+            _, xs1 = jax.lax.scan(step, x0, us, unroll=unroll)
+            xs = jnp.concatenate([x0[None], xs1], axis=0)
+            Jx, Ju = relinearize_one(params, xs, us)
+            return xs, Jx, Ju
+
         def step(x, u):
             pred = pred_core(params, x, u)
             jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
@@ -260,14 +292,6 @@ def make_batched_ilqr_solver(
 
         _, (xs1, Jx, Ju) = jax.lax.scan(step, x0, us, unroll=unroll)
         return jnp.concatenate([x0[None], xs1], axis=0), Jx, Ju
-
-    def relinearize_one(params, xs, us):
-        def one(x, u):
-            jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
-            ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
-            return jx, ju
-
-        return jax.vmap(one)(xs[:H], us)
 
     def eval_obj_one(xs, us):
         oc = jnp.sum(jax.vmap(lambda x: cost.eval_obs_cost(x[:obsdim]))(xs[:H]))
@@ -349,10 +373,10 @@ def make_batched_ilqr_solver(
             if feature_spec is not None and dc == 1:
                 from ..ops.pallas_linesearch import pallas_sindy_line_search
 
-                term_fns, coeffs_key = feature_spec
+                library, coeffs_key = feature_spec
                 TB = min(128, B)
                 ls_xs, ls_us = pallas_sindy_line_search(
-                    term_fns, x0s, xs, us, Ks, ks,
+                    tuple(library._fns), x0s, xs, us, Ks, ks,
                     params[coeffs_key], alphas,
                     float(ubounds[0][0]), float(ubounds[1][0]),
                     block_b=TB if B % TB == 0 else B,

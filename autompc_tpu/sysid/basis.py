@@ -18,6 +18,7 @@ from __future__ import annotations
 import itertools
 from typing import Callable, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -131,10 +132,11 @@ class FeatureLibrary:
     coefficient layouts are interchangeable.
     """
 
-    def __init__(self, terms: Sequence[Term], blocks=None):
+    def __init__(self, terms: Sequence[Term], blocks=None, jac_blocks=None):
         self.names = [t[0] for t in terms]
         self._fns = [t[1] for t in terms]
         self._blocks = blocks  # list of callables Z -> (..., k)
+        self._jac_blocks = jac_blocks  # list of callables Z -> (..., k, d)
 
     @property
     def n_features(self) -> int:
@@ -145,6 +147,18 @@ class FeatureLibrary:
         if self._blocks is not None:
             return jnp.concatenate([blk(z) for blk in self._blocks], axis=-1)
         return jnp.stack([fn(z) for fn in self._fns], axis=-1)
+
+    def jacobian(self, z):
+        """Analytic feature Jacobian: z (..., d) -> (..., F, d).
+
+        One feature-evaluation's worth of work instead of jacfwd's d
+        pushforwards — this sits on the relinearization hot path of
+        every Gauss-Newton style solver over linear-in-features models.
+        Falls back to jacfwd when no analytic blocks are available.
+        """
+        if self._jac_blocks is None:
+            return jax.jacfwd(self.__call__)(z)
+        return jnp.concatenate([blk(z) for blk in self._jac_blocks], axis=-2)
 
     @staticmethod
     def from_config(
@@ -160,8 +174,13 @@ class FeatureLibrary:
         hyperparameters (sindy.py:136-150): identity always; trig (+
         interactions) per frequency 1..trig_freq; polynomial powers
         2..poly_degree (+ cross terms)."""
+        d = n_inputs
+        eye = jnp.eye(d)
         terms: List[Term] = list(identity_terms(n_inputs))
         blocks = [lambda z: z]
+        jac_blocks = [
+            lambda z: jnp.broadcast_to(eye, z.shape[:-1] + (d, d))
+        ]
         if trig_basis:
             for freq in range(1, trig_freq + 1):
                 terms += trig_terms(n_inputs, freq)
@@ -175,11 +194,23 @@ class FeatureLibrary:
                     )
 
                 blocks.append(trig_blk)
+
+                def trig_jac(z, f=freq):
+                    c = f * jnp.cos(f * z)          # d sin
+                    s = -f * jnp.sin(f * z)         # d cos
+                    sin_rows = c[..., :, None] * eye
+                    cos_rows = s[..., :, None] * eye
+                    J = jnp.stack([sin_rows, cos_rows], axis=-2)
+                    return J.reshape(z.shape[:-1] + (2 * d, d))
+
+                jac_blocks.append(trig_jac)
                 if trig_interaction:
                     terms += trig_interaction_terms(n_inputs, freq)
                     pairs = list(itertools.combinations(range(n_inputs), 2))
                     ii = np.array([p[0] for p in pairs])
                     jj = np.array([p[1] for p in pairs])
+                    Ei = jnp.asarray(np.eye(d)[ii])  # (P, d)
+                    Ej = jnp.asarray(np.eye(d)[jj])
 
                     def inter_blk(z, f=freq, ii=ii, jj=jj):
                         # per pair: [zi sin(f zj), zj sin(f zi),
@@ -198,10 +229,32 @@ class FeatureLibrary:
                         return out.reshape(z.shape[:-1] + (4 * len(ii),))
 
                     blocks.append(inter_blk)
+
+                    def inter_jac(z, f=freq, ii=ii, jj=jj, Ei=Ei, Ej=Ej):
+                        zi = z[..., ii]
+                        zj = z[..., jj]
+                        sfj, cfj = jnp.sin(f * zj), jnp.cos(f * zj)
+                        sfi, cfi = jnp.sin(f * zi), jnp.cos(f * zi)
+                        ex = lambda a: a[..., :, None]  # (..., P, 1)
+                        J = jnp.stack(
+                            [
+                                ex(sfj) * Ei + ex(f * zi * cfj) * Ej,
+                                ex(sfi) * Ej + ex(f * zj * cfi) * Ei,
+                                ex(cfj) * Ei + ex(-f * zi * sfj) * Ej,
+                                ex(cfi) * Ej + ex(-f * zj * sfi) * Ei,
+                            ],
+                            axis=-2,
+                        )  # (..., P, 4, d)
+                        return J.reshape(z.shape[:-1] + (4 * len(ii), d))
+
+                    jac_blocks.append(inter_jac)
         if poly_basis:
             for deg in range(2, poly_degree + 1):
                 terms += poly_terms(n_inputs, deg)
-                blocks.append(lambda z, d=deg: z**d)
+                blocks.append(lambda z, k=deg: z**k)
+                jac_blocks.append(
+                    lambda z, k=deg: (k * z ** (k - 1))[..., :, None] * eye
+                )
             if poly_cross_terms:
                 cross = []
                 for deg in range(2, poly_degree + 1):
@@ -219,7 +272,30 @@ class FeatureLibrary:
                 if len(cross) != E.shape[0]:
                     raise AssertionError("cross-term enumeration mismatch")
                 blocks.append(cross_blk)
-        return FeatureLibrary(terms, blocks=blocks)
+
+                En = np.asarray(E)
+
+                def cross_jac(z, En=En):
+                    cols = []
+                    zb = z[..., None, :]  # (..., 1, d)
+                    for j in range(d):
+                        E_mod = En.copy()
+                        E_mod[:, j] = 0.0
+                        prod_wo_j = jnp.prod(
+                            zb ** jnp.asarray(E_mod), axis=-1
+                        )  # (..., T)
+                        e_j = En[:, j]
+                        dz_j = jnp.where(
+                            jnp.asarray(e_j) > 0,
+                            jnp.asarray(e_j)
+                            * z[..., j, None] ** jnp.asarray(np.maximum(e_j - 1, 0)),
+                            0.0,
+                        )
+                        cols.append(prod_wo_j * dz_j)
+                    return jnp.stack(cols, axis=-1)  # (..., T, d)
+
+                jac_blocks.append(cross_jac)
+        return FeatureLibrary(terms, blocks=blocks, jac_blocks=jac_blocks)
 
 
 def _cross_exponent_matrix(n_inputs: int, poly_degree: int) -> np.ndarray:

@@ -73,7 +73,7 @@ def main():
 
         feature_spec = None
         if os.environ.get("BENCH_LS", "pallas") == "pallas":
-            feature_spec = (tuple(model.library._fns), "coeffs")
+            feature_spec = (model.library, "coeffs")
         batch_solve = jax.jit(
             make_batched_ilqr_solver(
                 model.pred_core, cost,

@@ -91,7 +91,7 @@ def test_feature_spec_ls_matches_scan_ls(setup):
     )
     with_fs = make_batched_ilqr_solver(
         model.pred_core, cost, backward="scan",
-        feature_spec=(tuple(model.library._fns), "coeffs"), **common
+        feature_spec=(model.library, "coeffs"), **common
     )
     rng = np.random.default_rng(2)
     B = 4

@@ -363,3 +363,39 @@ class TestILQRSwingup:
         assert cfg["horizon"] == 20
         con = factory(cfg, task, model)
         assert con.horizon == 20
+
+
+class TestAnalyticJacobian:
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(),
+            dict(trig_basis=True, trig_freq=2),
+            dict(trig_basis=True, trig_interaction=True),
+            dict(poly_basis=True, poly_degree=3),
+            dict(poly_basis=True, poly_degree=3, poly_cross_terms=True),
+            dict(trig_basis=True, trig_interaction=True,
+                 poly_basis=True, poly_degree=2, poly_cross_terms=True),
+        ],
+    )
+    def test_matches_jacfwd(self, kwargs):
+        lib = FeatureLibrary.from_config(4, **kwargs)
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.normal(size=4))
+        J_analytic = np.asarray(lib.jacobian(z))
+        J_ad = np.asarray(jax.jacfwd(lib)(z))
+        np.testing.assert_allclose(J_analytic, J_ad, rtol=1e-9, atol=1e-10)
+
+    def test_batched_shapes(self):
+        lib = FeatureLibrary.from_config(3, trig_basis=True)
+        z = jnp.ones((5, 7, 3))
+        J = lib.jacobian(z)
+        assert J.shape == (5, 7, lib.n_features, 3)
+
+    def test_zero_input_cross_terms(self):
+        """Cross-term derivative must not NaN at z=0 (0 * z^-1 guard)."""
+        lib = FeatureLibrary.from_config(
+            3, poly_basis=True, poly_degree=3, poly_cross_terms=True
+        )
+        J = np.asarray(lib.jacobian(jnp.zeros(3)))
+        assert np.isfinite(J).all()
