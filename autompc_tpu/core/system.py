@@ -89,10 +89,22 @@ class System:
         return hash((self._observations, self._controls, self._dt))
 
     def obs_index(self, label: str) -> int:
-        return self._observations.index(label)
+        try:
+            return self._observations.index(label)
+        except ValueError:
+            raise ValueError(
+                f"Unknown observation label {label!r}; "
+                f"observations are {list(self._observations)}"
+            ) from None
 
     def ctrl_index(self, label: str) -> int:
-        return self._controls.index(label)
+        try:
+            return self._controls.index(label)
+        except ValueError:
+            raise ValueError(
+                f"Unknown control label {label!r}; "
+                f"controls are {list(self._controls)}"
+            ) from None
 
     def __repr__(self):
         dt_str = f", dt={self._dt}" if self._dt is not None else ""
