@@ -27,8 +27,6 @@ the reference's) is a fixed plausible oracle, not MuJoCo bit-parity.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

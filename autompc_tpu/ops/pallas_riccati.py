@@ -160,7 +160,7 @@ def pallas_tvlqr_backward(Jx, Ju, Cxx, Cuu, cx, cu, Vn, vn,
         return pl.BlockSpec(
             shape_prefix + (TB,),
             lambda i, nd=ndim: (0,) * nd + (i,),
-            memory_space=pltpu.ANY if False else pltpu.VMEM,
+            memory_space=pltpu.VMEM,
         )
 
     out_shape = (
