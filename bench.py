@@ -134,5 +134,43 @@ def main():
     )
 
 
-if __name__ == "__main__":
+def _watchdog():
+    """The remote-compile service's latency for the dual-Pallas solver
+    varies from ~2 to ~17 minutes. Try the full-speed configuration
+    under a deadline; on timeout fall back to the Pallas-backward-only
+    configuration (reliably ~2 min compile, ~2800 solves/s) so the
+    driver always records a result. Exactly one JSON line is printed
+    either way."""
+    import subprocess
+
+    deadline = float(os.environ.get("BENCH_DEADLINE", "720"))
+    env = dict(os.environ)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            timeout=deadline, capture_output=True, text=True, env=env,
+        )
+        sys.stderr.write(r.stderr)
+        lines = [
+            ln for ln in r.stdout.splitlines() if ln.startswith("{")
+        ]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        sys.stderr.write(
+            f"[bench] inner run failed (rc={r.returncode}); falling back\n"
+        )
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(
+            f"[bench] deadline {deadline}s exceeded; "
+            "falling back to backward-only kernels\n"
+        )
+    os.environ["BENCH_LS"] = "off"
     main()
+
+
+if __name__ == "__main__":
+    if "--inner" in sys.argv or os.environ.get("BENCH_NO_WATCHDOG"):
+        main()
+    else:
+        _watchdog()
