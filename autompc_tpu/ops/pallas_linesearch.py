@@ -83,12 +83,25 @@ def _ls_kernel(term_fns, ds, H, L_blk,
         # Features over z = [x..., u] as (L_blk, TB) slabs.
         z = _VecZ(x + [u])
         theta = [fn(z) for fn in term_fns]  # F slabs
-        x_new = []
-        for i in range(ds):
-            acc = coeffs_ref[i, 0] * theta[0]
-            for k in range(1, F):
-                acc = acc + coeffs_ref[i, k] * theta[k]
-            x_new.append(acc)
+
+        def tree_sum(vals):
+            # Balanced summation: sequential left-fold over ~55 f32
+            # terms loses enough precision to visibly change iLQR
+            # convergence rates vs the XLA scan path.
+            while len(vals) > 1:
+                nxt = [
+                    vals[i] + vals[i + 1]
+                    for i in range(0, len(vals) - 1, 2)
+                ]
+                if len(vals) % 2:
+                    nxt.append(vals[-1])
+                vals = nxt
+            return vals[0]
+
+        x_new = [
+            tree_sum([coeffs_ref[i, k] * theta[k] for k in range(F)])
+            for i in range(ds)
+        ]
 
         for i in range(ds):
             out_xs_ref[t + 1, :, i] = x_new[i]
