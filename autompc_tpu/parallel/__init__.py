@@ -1,2 +1,2 @@
 from .mesh import make_mesh, pad_to_multiple, shard_vmap
-from .fanout import QuadCostFanout, MPPIFanout
+from .fanout import DirectTranscriptionFanout, MPPIFanout, QuadCostFanout

@@ -129,6 +129,99 @@ class QuadCostFanout:
         return self._eval(params_batch)
 
 
+class DirectTranscriptionFanout:
+    """Evaluate a batch of diagonal quadratic-cost candidates with a
+    direct-transcription (SQP) controller synthesized per candidate
+    (control/nmpc.py semantics). ``horizon_knots`` is the knot count (the
+    factory's horizon hyperparameter is seconds; knots =
+    ceil(horizon / dt), reference nmpc.py:254) — one fan-out per knot
+    bucket."""
+
+    def __init__(
+        self,
+        system,
+        task,
+        model,
+        surrogate,
+        horizon_knots: int = 20,
+        n_steps: Optional[int] = None,
+        mesh=None,
+        goal=None,
+    ):
+        import numpy as np
+
+        from ..control.nmpc import make_sqp_solver
+
+        n_steps = n_steps or (task.get_num_steps() or 200) - 1
+        goal = jnp.asarray(
+            goal
+            if goal is not None
+            else (task.get_cost().get_goal() if task.get_cost() is not None
+                  else jnp.zeros(system.obs_dim))
+        )
+        init_obs = jnp.asarray(task.get_init_obs())
+        bounds = task.get_ctrl_bounds()
+        finite_lo = np.where(np.isfinite(bounds[:, 0]), bounds[:, 0], -1e9)
+        finite_hi = np.where(np.isfinite(bounds[:, 1]), bounds[:, 1], 1e9)
+        task_cost = task.get_cost()
+
+        model_params = model.params
+        surr_params = surrogate.params
+        H = int(horizon_knots)
+        ds = model.state_dim
+        dc = system.ctrl_dim
+        n = system.obs_dim
+        from ..core.trajectory import zeros as traj_zeros
+
+        seed_traj = traj_zeros(system, 1).set_obs(0, init_obs)
+        mstate0 = model.traj_to_state(seed_traj)
+
+        def eval_one(cost_params):
+            cost = QuadCost(
+                system,
+                jnp.diag(cost_params["Qdiag"]),
+                jnp.diag(cost_params["Rdiag"]),
+                jnp.diag(cost_params["Fdiag"]),
+                goal=goal,
+            )
+            solve = make_sqp_solver(
+                model.pred_core, cost,
+                H=H, ds=ds, dc=dc, obsdim=n,
+                dt=system.dt, ubounds=(finite_lo, finite_hi),
+            )
+
+            def ctrl_step(cstate, obs):
+                mstate, last_u, xs_guess, us_guess = cstate
+                state = model.update_state_core(
+                    model_params, mstate, last_u, obs
+                )
+                xs, us = solve(model_params, state, xs_guess, us_guess)
+                u = us[0]
+                # Warm start the next MPC step (nmpc.py:319-320).
+                return u, (state, u, xs, us)
+
+            def advance(obs, u):
+                return surrogate.pred_core(surr_params, obs, u)[:n]
+
+            cstate0 = (
+                mstate0, jnp.zeros(dc), jnp.zeros((H + 1, ds)),
+                jnp.zeros((H, dc)),
+            )
+            all_obs, ctrl_seq, _ = rollout_scan(
+                ctrl_step, advance, cstate0, init_obs, n_steps
+            )
+            stage = jax.vmap(task_cost.eval_obs_cost)(all_obs).sum()
+            ctrlc = jax.vmap(task_cost.eval_ctrl_cost)(ctrl_seq).sum()
+            term = task_cost.eval_term_obs_cost(all_obs[-1])
+            total = stage + ctrlc + term
+            return jnp.where(jnp.isfinite(total), total, jnp.inf)
+
+        self._eval = shard_vmap(eval_one, mesh=mesh)
+
+    def __call__(self, params_batch):
+        return self._eval(params_batch)
+
+
 class MPPIFanout:
     """Evaluate batches of MPPI solver configurations (sigma, lmda) +
     quad-cost gains against a surrogate — all scalars, so one compiled
@@ -145,6 +238,7 @@ class MPPIFanout:
         n_steps: Optional[int] = None,
         mesh=None,
         seed: int = 0,
+        goal=None,
     ):
         from ..control.mppi import MPPI
 
@@ -152,8 +246,11 @@ class MPPIFanout:
         init_obs = jnp.asarray(task.get_init_obs())
         task_cost = task.get_cost()
         goal = jnp.asarray(
-            task_cost.get_goal() if task_cost is not None and task_cost.has_goal
-            else jnp.zeros(system.obs_dim)
+            goal
+            if goal is not None
+            else (task_cost.get_goal()
+                  if task_cost is not None and task_cost.has_goal
+                  else jnp.zeros(system.obs_dim))
         )
         n = system.obs_dim
         surr_params = surrogate.params

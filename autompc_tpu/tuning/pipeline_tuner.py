@@ -73,11 +73,13 @@ class PipelineTuner:
 
         ``use_fanout=True`` enables the mesh-parallel fast path: when the
         pipeline's model is fixed, the cost factory is a QuadCostFactory,
-        and the controller factory is IterativeLQRFactory, each ask()
-        batch is bucketed by horizon and every bucket is evaluated as
-        ONE sharded program (parallel/fanout.py) — candidate synthesis +
-        closed-loop surrogate rollout + metric, all on device. Per-
-        candidate surrogate trajectories are not recorded on this path.
+        and the controller factory is one of IterativeLQRFactory /
+        MPPIFactory / DirectTranscriptionControllerFactory, each ask()
+        batch is bucketed by its shape-changing hyperparameters (horizon;
+        num_path for MPPI) and every bucket is evaluated as ONE sharded
+        program (parallel/fanout.py) — candidate synthesis + closed-loop
+        surrogate rollout + metric, all on device. Per-candidate
+        surrogate trajectories are not recorded on this path.
         """
         self.surrogate_mode = surrogate_mode
         self.surrogate_factory = surrogate_factory
@@ -90,47 +92,103 @@ class PipelineTuner:
         self.use_fanout = bool(use_fanout)
         self.mesh = mesh
 
-    def _fanout_supported(self, pipeline, surrogate):
+    def _fanout_kind(self, pipeline, surrogate):
+        """Which fan-out fast path (if any) covers this pipeline:
+        "ilqr" / "mppi" / "dt", or None for the general sequential
+        objective. All paths require a fixed (pre-trained) model, a
+        QuadCostFactory, and an obs-state surrogate."""
         from ..control.ilqr import IterativeLQRFactory
+        from ..control.mppi import MPPIFactory
+        from ..control.nmpc import DirectTranscriptionControllerFactory
         from ..costs.quad_cost_factory import QuadCostFactory
 
-        return (
+        if not (
             self.use_fanout
             and pipeline.model is not None
             and isinstance(pipeline.cost_factory, QuadCostFactory)
-            and isinstance(pipeline.controller_factory, IterativeLQRFactory)
             and surrogate.state_dim == pipeline.system.obs_dim
-        )
+        ):
+            return None
+        cf = pipeline.controller_factory
+        if isinstance(cf, IterativeLQRFactory):
+            return "ilqr"
+        if isinstance(cf, MPPIFactory):
+            return "mppi"
+        if isinstance(cf, DirectTranscriptionControllerFactory):
+            return "dt"
+        return None
 
-    def _eval_batch_fanout(self, pipeline, task, surrogate, cfgs, fanouts):
-        """Evaluate a batch of configurations through horizon-bucketed
-        sharded fan-outs. Returns a list of costs aligned with cfgs."""
+    def _eval_batch_fanout(self, pipeline, task, surrogate, cfgs, fanouts,
+                           kind):
+        """Evaluate a batch of configurations through shape-bucketed
+        sharded fan-outs (one compiled program per bucket of
+        shape-changing hyperparameters). Returns costs aligned with
+        cfgs."""
         import jax.numpy as jnp
         import numpy as np
 
-        from ..parallel.fanout import QuadCostFanout
+        from ..parallel.fanout import (
+            DirectTranscriptionFanout,
+            MPPIFanout,
+            QuadCostFanout,
+        )
 
         system = pipeline.system
         n_steps = (task.get_num_steps() or 200) - 1
-        goal = (
-            task.get_cost().get_goal()
-            if task.get_cost() is not None and task.get_cost().has_goal
-            else np.zeros(system.obs_dim)
-        )
+        # Goal resolution mirrors QuadCostFactory.__call__
+        # (costs/quad_cost_factory.py): factory goal wins over task goal.
+        factory_goal = getattr(pipeline.cost_factory, "goal", None)
+        if factory_goal is not None:
+            goal = np.nan_to_num(np.asarray(factory_goal, dtype=float))
+        elif task.get_cost() is not None and task.get_cost().has_goal:
+            goal = np.nan_to_num(
+                np.asarray(task.get_cost().get_goal(), dtype=float)
+            )
+        else:
+            goal = np.zeros(system.obs_dim)
 
+        # Controller kwargs resolve like ControllerFactory.__call__:
+        # factory constructor kwargs override configuration values.
+        overrides = getattr(pipeline.controller_factory, "kwargs", {})
+
+        def ck(cfg, name, default):
+            if name in overrides:
+                return overrides[name]
+            return cfg.get(f"_ctrlr:{name}", default)
+
+        # Bucket by the shape-changing hyperparameters.
         buckets = {}
         for idx, cfg in enumerate(cfgs):
-            horizon = int(cfg.get("_ctrlr:horizon", 20))
-            buckets.setdefault(horizon, []).append(idx)
+            horizon = ck(cfg, "horizon", 20)
+            if kind == "mppi":
+                key = (int(horizon), int(ck(cfg, "num_path", 200)))
+            elif kind == "dt":
+                # Factory horizon is seconds; knots = ceil(h/dt)
+                # (nmpc.py:254).
+                key = int(np.ceil(horizon / system.dt))
+            else:
+                key = int(horizon)
+            buckets.setdefault(key, []).append(idx)
 
         costs = [None] * len(cfgs)
-        for horizon, idxs in buckets.items():
-            if horizon not in fanouts:
-                fanouts[horizon] = QuadCostFanout(
-                    system, task, pipeline.model, surrogate,
-                    horizon=horizon, n_steps=n_steps, mesh=self.mesh,
-                    goal=goal,
-                )
+        for key, idxs in buckets.items():
+            if key not in fanouts:
+                common = dict(n_steps=n_steps, mesh=self.mesh, goal=goal)
+                if kind == "ilqr":
+                    fanouts[key] = QuadCostFanout(
+                        system, task, pipeline.model, surrogate,
+                        horizon=key, **common,
+                    )
+                elif kind == "mppi":
+                    fanouts[key] = MPPIFanout(
+                        system, task, pipeline.model, surrogate,
+                        horizon=key[0], num_path=key[1], **common,
+                    )
+                else:
+                    fanouts[key] = DirectTranscriptionFanout(
+                        system, task, pipeline.model, surrogate,
+                        horizon_knots=key, **common,
+                    )
             Qd, Fd, Rd = [], [], []
             for i in idxs:
                 cfg = cfgs[i]
@@ -148,7 +206,14 @@ class PipelineTuner:
                 "Fdiag": jnp.asarray(np.array(Fd, dtype=float)),
                 "Rdiag": jnp.asarray(np.array(Rd, dtype=float)),
             }
-            vals = np.asarray(fanouts[horizon](batch))
+            if kind == "mppi":
+                batch["sigma"] = jnp.asarray(
+                    [float(ck(cfgs[i], "sigma", 1.0)) for i in idxs]
+                )
+                batch["lmda"] = jnp.asarray(
+                    [float(ck(cfgs[i], "lmda", 1.0)) for i in idxs]
+                )
+            vals = np.asarray(fanouts[key](batch))
             for j, i in enumerate(idxs):
                 costs[i] = float(vals[j])
         return costs
@@ -289,14 +354,14 @@ class PipelineTuner:
                 costs = list(snap["costs"])
                 infos = [{"surr_cost": c, "surr_traj": None} for c in costs]
 
-        fanout_ok = self._fanout_supported(pipeline, surrogate)
+        fanout_kind = self._fanout_kind(pipeline, surrogate)
         fanouts = {}
         remaining = int(n_iters) - len(costs)
         while remaining > 0:
             batch = bo.ask(min(self.eval_batch, remaining))
-            if fanout_ok:
+            if fanout_kind is not None:
                 batch_costs = self._eval_batch_fanout(
-                    pipeline, task, surrogate, batch, fanouts
+                    pipeline, task, surrogate, batch, fanouts, fanout_kind
                 )
                 for c in batch_costs:
                     infos.append({"surr_cost": c, "surr_traj": None})

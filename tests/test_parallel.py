@@ -8,6 +8,7 @@ import pytest
 import autompc_tpu as ampc
 from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
 from autompc_tpu.parallel import (
+    DirectTranscriptionFanout,
     MPPIFanout,
     QuadCostFanout,
     make_mesh,
@@ -131,6 +132,31 @@ class TestQuadCostFanout:
         }
         costs = np.asarray(fanout(batch))
         assert costs[0] < costs[1]
+
+
+class TestDirectTranscriptionFanout:
+    def test_batched_dt_eval(self, setup):
+        benchmark, model = setup
+        task = benchmark.task.copy()
+        task.set_init_obs(np.array([0.5, 0.0, 0.0, 0.0]))
+        fanout = DirectTranscriptionFanout(
+            benchmark.system, task, model, model,
+            horizon_knots=10, n_steps=30, mesh=make_mesh(),
+            goal=np.zeros(4),
+        )
+        B = 8
+        rng = np.random.default_rng(2)
+        batch = {
+            "Qdiag": jnp.asarray(rng.uniform(0.1, 20.0, (B, 4))),
+            "Fdiag": jnp.asarray(rng.uniform(0.1, 20.0, (B, 4))),
+            "Rdiag": jnp.asarray(rng.uniform(0.001, 1.0, (B, 1))),
+        }
+        costs = np.asarray(fanout(batch))
+        assert costs.shape == (B,)
+        assert not np.isnan(costs).any()
+        assert np.isfinite(costs).any()
+        finite = costs[np.isfinite(costs)]
+        assert len(np.unique(np.round(finite, 6))) > 1
 
 
 class TestMPPIFanout:

@@ -192,3 +192,90 @@ class TestPipelineTunerFanout:
                 )
             else:
                 assert np.isinf(cs) == np.isinf(cf)
+
+    def test_mppi_fanout_matches_sequential(self, benchmark, trajs):
+        """MPPI-backed pipelines take the fan-out fast path and score
+        candidates identically to the sequential objective (same PRNG
+        stream, same metric)."""
+        from autompc_tpu.control import MPPIFactory
+        from autompc_tpu.sysid import SINDy
+
+        model = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        model.train(trajs)
+        pipeline = Pipeline(
+            benchmark.system,
+            model,
+            QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+            MPPIFactory(benchmark.system, num_path=64),
+        )
+        task = benchmark.task.copy()
+        task.set_num_steps(25)
+
+        seq = PipelineTuner(surrogate_mode="pretrain", eval_batch=3)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=3, use_fanout=True
+        )
+        _, res_seq = seq.run(
+            pipeline, task, trajs, n_iters=3,
+            rng=np.random.default_rng(4), surrogate=model,
+        )
+        _, res_fan = fan.run(
+            pipeline, task, trajs, n_iters=3,
+            rng=np.random.default_rng(4), surrogate=model,
+        )
+        for cs, cf in zip(res_seq.costs, res_fan.costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=1e-5, abs=1e-5), (
+                    res_seq.costs, res_fan.costs,
+                )
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
+
+    def test_dt_fanout_matches_sequential(self, benchmark, trajs):
+        """Direct-transcription pipelines take the fan-out fast path;
+        the factory's fixed horizon (seconds) buckets by knot count."""
+        from autompc_tpu.control import DirectTranscriptionControllerFactory
+        from autompc_tpu.sysid import SINDy
+
+        model = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        model.train(trajs)
+        pipeline = Pipeline(
+            benchmark.system,
+            model,
+            QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+            # 0.5 s @ dt=0.05 => 10 knots; kwargs override the cfg value
+            # exactly like ControllerFactory.__call__.
+            DirectTranscriptionControllerFactory(
+                benchmark.system, horizon=0.5
+            ),
+        )
+        task = benchmark.task.copy()
+        task.set_num_steps(25)
+
+        seq = PipelineTuner(surrogate_mode="pretrain", eval_batch=3)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=3, use_fanout=True
+        )
+        _, res_seq = seq.run(
+            pipeline, task, trajs, n_iters=3,
+            rng=np.random.default_rng(5), surrogate=model,
+        )
+        _, res_fan = fan.run(
+            pipeline, task, trajs, n_iters=3,
+            rng=np.random.default_rng(5), surrogate=model,
+        )
+        for cs, cf in zip(res_seq.costs, res_fan.costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=1e-5, abs=1e-5), (
+                    res_seq.costs, res_fan.costs,
+                )
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
