@@ -238,8 +238,8 @@ def make_batched_ilqr_solver(
     ``feature_spec``: optional ``(feature_library, coeffs_param_key)``
     for linear-in-features models (discrete-time SINDy/Koopman form) —
     enables the Pallas line-search rollout kernel
-    (ops/pallas_linesearch.py). Requires dc == 1 and scalar control
-    bounds. ``analytic_jac=True`` additionally uses the library's
+    (ops/pallas_linesearch.py) for any number of control dims.
+    ``analytic_jac=True`` additionally uses the library's
     closed-form feature Jacobians for the forward/relinearization
     passes (measured a wash vs jacfwd on TPU for the block-vectorized
     library; kept as an option).
@@ -368,15 +368,23 @@ def make_batched_ilqr_solver(
                 )(c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn)
             ks_norm = jnp.sqrt(jnp.sum(ks**2, axis=(1, 2)))
 
-            if feature_spec is not None and dc == 1:
+            if feature_spec is not None:
                 from ..ops.pallas_linesearch import pallas_sindy_line_search
 
                 library, coeffs_key = feature_spec
                 TB = min(128, B)
+                ls_umin = (
+                    umin if ubounds is not None
+                    else jnp.full((dc,), -jnp.inf)
+                )
+                ls_umax = (
+                    umax if ubounds is not None
+                    else jnp.full((dc,), jnp.inf)
+                )
                 ls_xs, ls_us = pallas_sindy_line_search(
                     tuple(library._fns), x0s, xs, us, Ks, ks,
                     params[coeffs_key], alphas,
-                    float(ubounds[0][0]), float(ubounds[1][0]),
+                    ls_umin, ls_umax,
                     block_b=TB if B % TB == 0 else B,
                 )
             else:

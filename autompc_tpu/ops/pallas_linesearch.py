@@ -15,8 +15,9 @@ horizon and evaluates the dynamics features inline:
   functions are traced directly over (L_blk, TB) slabs via a
   component-indexed virtual input, so one kernel generator serves every
   library configuration;
-* control clipping and the feedback law ``u = alpha k + ubar +
-  K (x - xbar)`` are fused into the same step.
+* any number of control dims: control clipping and the feedback law
+  ``u_j = alpha k_j + ubar_j + K_j . (x - xbar)`` are fused into the
+  same step, one register slab per control component.
 
 Matches ``make_ilqr_solver``'s vmapped line search up to f32
 reassociation (tests pin it against the scan path).
@@ -44,14 +45,15 @@ class _VecZ:
         return self._comps[i]
 
 
-def _ls_kernel(term_fns, ds, H, L_blk,
+def _ls_kernel(term_fns, ds, dc, H, L_blk,
                x0_ref, xs_ref, us_ref, Ks_ref, ks_ref, coeffs_ref,
                alphas_ref, umin_ref, umax_ref,
                out_xs_ref, out_us_ref):
     """Block shapes (lanes last):
-    x0 (ds, TB), xs (H, ds, TB), us (H, TB), Ks (H, ds, TB), ks (H, TB),
-    coeffs (ds, F) [SMEM], alphas (L, 1) [SMEM], umin/umax (1, 1) [SMEM],
-    outs: out_xs (H+1, L_blk, ds, TB), out_us (H, L_blk, 1, TB)."""
+    x0 (ds, TB), xs (H, ds, TB), us (H, dc, TB), Ks (H, dc, ds, TB),
+    ks (H, dc, TB), coeffs (ds, F) [SMEM], alphas (L, 1) [SMEM],
+    umin/umax (dc, 1) [SMEM],
+    outs: out_xs (H+1, L_blk, ds, TB), out_us (H, L_blk, dc, TB)."""
     TB = x0_ref.shape[-1]
     F = coeffs_ref.shape[1]
     l0 = pl.program_id(1) * L_blk
@@ -65,23 +67,23 @@ def _ls_kernel(term_fns, ds, H, L_blk,
         out_xs_ref[0, :, i] = x[i]
 
     alpha_col = jnp.stack(alphas)[:, None]  # (L_blk, 1)
-    umin = umin_ref[0, 0]
-    umax = umax_ref[0, 0]
+    umin = [umin_ref[j, 0] for j in range(dc)]
+    umax = [umax_ref[j, 0] for j in range(dc)]
 
     def body(t, x_tuple):
         x = list(x_tuple)
         xbar = [xs_ref[t, i] for i in range(ds)]   # (TB,)
-        ubar = us_ref[t]                            # (TB,)
-        K = [Ks_ref[t, i] for i in range(ds)]       # (TB,)
-        kff = ks_ref[t]                             # (TB,)
 
-        # u = alpha*k + ubar + K.(x - xbar), clipped.
-        fb = sum(K[i][None, :] * (x[i] - xbar[i][None, :]) for i in range(ds))
-        u = alpha_col * kff[None, :] + ubar[None, :] + fb
-        u = jnp.clip(u, umin, umax)
+        # u_j = alpha*k_j + ubar_j + K_j.(x - xbar), clipped.
+        dx = [x[i] - xbar[i][None, :] for i in range(ds)]
+        u = []
+        for j in range(dc):
+            fb = sum(Ks_ref[t, j, i][None, :] * dx[i] for i in range(ds))
+            uj = alpha_col * ks_ref[t, j][None, :] + us_ref[t, j][None, :] + fb
+            u.append(jnp.clip(uj, umin[j], umax[j]))
 
-        # Features over z = [x..., u] as (L_blk, TB) slabs.
-        z = _VecZ(x + [u])
+        # Features over z = [x..., u...] as (L_blk, TB) slabs.
+        z = _VecZ(x + u)
         theta = [fn(z) for fn in term_fns]  # F slabs
 
         def tree_sum(vals):
@@ -105,7 +107,8 @@ def _ls_kernel(term_fns, ds, H, L_blk,
 
         for i in range(ds):
             out_xs_ref[t + 1, :, i] = x_new[i]
-        out_us_ref[t, :, 0] = u
+        for j in range(dc):
+            out_us_ref[t, :, j] = u[j]
         return tuple(x_new)
 
     jax.lax.fori_loop(0, H, body, tuple(x))
@@ -124,17 +127,18 @@ def pallas_sindy_line_search(
     ----------
     term_fns : tuple of scalar term functions (FeatureLibrary._fns) —
         static (hashable) so each library compiles its own kernel
-    x0 : (B, ds), xs : (B, H+1, ds), us : (B, H, 1),
-    Ks : (B, H, 1, ds), ks : (B, H, 1), coeffs : (ds, F),
-    alphas : (L,), umin/umax : scalars
+    x0 : (B, ds), xs : (B, H+1, ds), us : (B, H, dc),
+    Ks : (B, H, dc, ds), ks : (B, H, dc), coeffs : (ds, F),
+    alphas : (L,), umin/umax : scalars or (dc,) vectors
     block_b : lanes per program (TPU requires a multiple of 128 or the
         full batch)
     block_l : alphas per program (controls the VMEM output window)
 
-    Returns (ls_xs (B, L, H+1, ds), ls_us (B, L, H, 1)).
+    Returns (ls_xs (B, L, H+1, ds), ls_us (B, L, H, dc)).
     """
     B, Hp1, ds = xs.shape
     H = Hp1 - 1
+    dc = us.shape[-1]
     L = alphas.shape[0]
     TB = min(block_b, B)
     if B % TB != 0:
@@ -145,14 +149,18 @@ def pallas_sindy_line_search(
 
     x0T = jnp.transpose(x0, (1, 0))                    # (ds, B)
     xsT = jnp.transpose(xs[:, :H], (1, 2, 0))          # (H, ds, B)
-    usT = jnp.transpose(us[..., 0], (1, 0))            # (H, B)
-    KsT = jnp.transpose(Ks[:, :, 0, :], (1, 2, 0))     # (H, ds, B)
-    ksT = jnp.transpose(ks[..., 0], (1, 0))            # (H, B)
+    usT = jnp.transpose(us, (1, 2, 0))                 # (H, dc, B)
+    KsT = jnp.transpose(Ks, (1, 2, 3, 0))              # (H, dc, ds, B)
+    ksT = jnp.transpose(ks, (1, 2, 0))                 # (H, dc, B)
     alphas2 = alphas[:, None].astype(xs.dtype)
-    umin2 = jnp.full((1, 1), umin, dtype=xs.dtype)
-    umax2 = jnp.full((1, 1), umax, dtype=xs.dtype)
+    umin2 = jnp.broadcast_to(
+        jnp.asarray(umin, dtype=xs.dtype).reshape(-1, 1), (dc, 1)
+    )
+    umax2 = jnp.broadcast_to(
+        jnp.asarray(umax, dtype=xs.dtype).reshape(-1, 1), (dc, 1)
+    )
 
-    kernel = functools.partial(_ls_kernel, term_fns, ds, H, L_blk)
+    kernel = functools.partial(_ls_kernel, term_fns, ds, dc, H, L_blk)
     grid = (B // TB, L // L_blk)
 
     def vspec(prefix):
@@ -170,10 +178,10 @@ def pallas_sindy_line_search(
         kernel,
         grid=grid,
         in_specs=[
-            vspec((ds,)), vspec((H, ds)), vspec((H,)),
-            vspec((H, ds)), vspec((H,)),
+            vspec((ds,)), vspec((H, ds)), vspec((H, dc)),
+            vspec((H, dc, ds)), vspec((H, dc)),
             sspec(coeffs.shape), sspec((L, 1)),
-            sspec((1, 1)), sspec((1, 1)),
+            sspec((dc, 1)), sspec((dc, 1)),
         ],
         out_specs=(
             # ds (== full dim) sits second-to-last so the Mosaic tiling
@@ -185,19 +193,19 @@ def pallas_sindy_line_search(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (H, L_blk, 1, TB),
+                (H, L_blk, dc, TB),
                 lambda i, j: (0, j, 0, i),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((H + 1, L, ds, B), xs.dtype),
-            jax.ShapeDtypeStruct((H, L, 1, B), xs.dtype),
+            jax.ShapeDtypeStruct((H, L, dc, B), xs.dtype),
         ),
         interpret=interpret,
     )(x0T, xsT, usT, KsT, ksT, coeffs.astype(xs.dtype), alphas2,
       umin2, umax2)
 
     ls_xs = jnp.transpose(out_xsT, (3, 1, 0, 2))       # (B, L, H+1, ds)
-    ls_us = jnp.transpose(out_usT[:, :, 0, :], (2, 1, 0))[..., None]
+    ls_us = jnp.transpose(out_usT, (3, 1, 0, 2))       # (B, L, H, dc)
     return ls_xs, ls_us

@@ -69,6 +69,79 @@ def test_matches_scan(model):
         )
 
 
+def test_multi_control_matches_scan():
+    """dc>1: SINDy on a random 3-state/2-control linear system; the
+    kernel's per-component feedback/clip matches the scan path."""
+    import autompc_tpu as ampc
+    from autompc_tpu.core.trajectory import Trajectory
+
+    rng = np.random.default_rng(3)
+    n, m = 3, 2
+    system = ampc.System(
+        [f"x{i}" for i in range(n)], [f"u{j}" for j in range(m)], dt=0.1
+    )
+    A = np.eye(n) + 0.1 * rng.normal(size=(n, n)) / np.sqrt(n)
+    A *= 0.95 / max(1.0, np.max(np.abs(np.linalg.eigvals(A))))
+    Bm = 0.2 * rng.normal(size=(n, m))
+    trajs = []
+    for _ in range(20):
+        T = 40
+        obs = np.zeros((T, n))
+        ctrls = rng.uniform(-2, 2, (T, m))
+        obs[0] = rng.uniform(-1, 1, n)
+        for t in range(T - 1):
+            obs[t + 1] = A @ obs[t] + Bm @ ctrls[t]
+        trajs.append(Trajectory(system, T, jnp.asarray(obs), jnp.asarray(ctrls)))
+
+    m_sindy = SINDy(system, method="lstsq", threshold=1e-6,
+                    time_mode="discrete")
+    m_sindy.train(trajs)
+
+    B, H = 4, 7
+    x0 = jnp.asarray(rng.uniform(-1, 1, (B, n)))
+    xs = jnp.asarray(rng.uniform(-1, 1, (B, H + 1, n)))
+    us = jnp.asarray(rng.uniform(-2, 2, (B, H, m)))
+    Ks = jnp.asarray(rng.normal(size=(B, H, m, n)) * 0.3)
+    ks = jnp.asarray(rng.normal(size=(B, H, m)))
+    alphas = 0.2 ** jnp.arange(4, dtype=x0.dtype)
+    umin = -1.5 * jnp.ones(m)
+    umax = 1.5 * jnp.ones(m)
+
+    ls_xs, ls_us = pallas_sindy_line_search(
+        tuple(m_sindy.library._fns), x0, xs, us, Ks, ks,
+        m_sindy.coeffs, alphas, umin, umax,
+        block_b=B, block_l=2, interpret=True,
+    )
+    assert ls_xs.shape == (B, 4, H + 1, n)
+    assert ls_us.shape == (B, 4, H, m)
+
+    params = m_sindy.params
+
+    def rollout(b_, alpha):
+        def step(x, inp):
+            xbar, ubar, K, k = inp
+            u = jnp.clip(alpha * k + ubar + K @ (x - xbar), umin, umax)
+            x1 = m_sindy.pred_core(params, x, u)
+            return x1, (x1, u)
+
+        _, (xs1, us1) = jax.lax.scan(
+            step, x0[b_], (xs[b_, :H], us[b_], Ks[b_], ks[b_])
+        )
+        return jnp.concatenate([x0[b_][None], xs1], axis=0), us1
+
+    for b_ in range(B):
+        for a_ in range(4):
+            ref_xs, ref_us = rollout(b_, alphas[a_])
+            np.testing.assert_allclose(
+                np.asarray(ls_xs[b_, a_]), np.asarray(ref_xs),
+                rtol=1e-6, atol=1e-8,
+            )
+            np.testing.assert_allclose(
+                np.asarray(ls_us[b_, a_]), np.asarray(ref_us),
+                rtol=1e-6, atol=1e-8,
+            )
+
+
 def test_multi_block(model):
     rng = np.random.default_rng(1)
     B, H, ds = 8, 5, 4
