@@ -47,9 +47,14 @@ def make_ilqr_solver(
     ls_discount: float = 0.2,
     ls_cost_threshold: float = 0.3,
     unroll: int = 8,
+    backward: str = "scan",
 ):
     """Build a jittable iLQR solve:
     ``solve(params, x0, uguess) -> (converged, xs, us, Ks, ks)``.
+
+    ``backward``: "scan" (sequential ``lax.scan``) or "assoc"
+    (O(log H)-depth associative-scan Riccati for long horizons;
+    ops/riccati.py:tvlqr_backward_assoc).
 
     Semantics mirror ``IterativeLQR.compute_ilqr_default``
     (ilqr.py:100-265), including its quirks: Jacobians are only
@@ -141,9 +146,16 @@ def make_ilqr_solver(
             Vn = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(th)
             vn = jnp.zeros(ds).at[:obsdim].set(tg)
             Cxx, Cuu, cx, cu = stage_expansions(xs, us)
-            Ks, ks, lin_red, quad_red = tvlqr_backward_scan(
-                c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn, unroll=unroll
-            )
+            if backward == "assoc":
+                from ..ops.riccati import tvlqr_backward_assoc
+
+                Ks, ks, lin_red, quad_red = tvlqr_backward_assoc(
+                    c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn
+                )
+            else:
+                Ks, ks, lin_red, quad_red = tvlqr_backward_scan(
+                    c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn, unroll=unroll
+                )
             ks_norm = jnp.linalg.norm(ks)
 
             ls_xs, ls_us = line_search(params, x0, xs, us, Ks, ks)
@@ -223,6 +235,7 @@ def make_batched_ilqr_solver(
     backward: str = "pallas",
     feature_spec=None,
     analytic_jac: bool = False,
+    fuse_ls: bool = False,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
     (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
@@ -233,7 +246,9 @@ def make_batched_ilqr_solver(
     backward pass runs on the whole batch at once, which lets it use the
     Pallas batched Riccati kernel (ops/pallas_riccati.py, ~2.3x the XLA
     scan at B=4096). ``backward``: "pallas" (dc=1 only; falls back
-    automatically) or "scan".
+    automatically), "scan", or "assoc" (O(log H)-depth
+    associative-scan Riccati, ops/riccati.py:tvlqr_backward_assoc —
+    the H >> 200 long-horizon option; requires invertible Cuu).
 
     ``feature_spec``: optional ``(feature_library, coeffs_param_key)``
     for linear-in-features models (discrete-time SINDy/Koopman form) —
@@ -243,6 +258,16 @@ def make_batched_ilqr_solver(
     closed-form feature Jacobians for the forward/relinearization
     passes (measured a wash vs jacfwd on TPU for the block-vectorized
     library; kept as an option).
+
+    ``fuse_ls=True`` upgrades the line-search kernel to the fully fused
+    variant when the cost is quadratic: objective evaluation and the
+    acceptance rule run inside the kernel and only the selected
+    trajectory is written out
+    (ops/pallas_linesearch.py:pallas_fused_line_search), eliminating
+    the (B, L, H, ds) candidate window from HBM at the price of one
+    extra re-roll of the selected alpha. Measured a wash at the
+    headline shape (B=4096, H=200, ds=4: 4483 vs 4585 solves/s) —
+    useful when VMEM/HBM pressure dominates (larger L, ds, or H).
     """
     if ubounds is not None:
         umin = jnp.asarray(ubounds[0])
@@ -362,68 +387,92 @@ def make_batched_ilqr_solver(
                     c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn,
                     block_b=TB if B % TB == 0 else B,
                 )
+            elif backward == "assoc":
+                from ..ops.riccati import tvlqr_backward_assoc
+
+                Ks, ks, lin_red, quad_red = jax.vmap(tvlqr_backward_assoc)(
+                    c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn
+                )
             else:
                 Ks, ks, lin_red, quad_red = jax.vmap(
                     lambda *a: tvlqr_backward_scan(*a, unroll=unroll)
                 )(c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn)
             ks_norm = jnp.sqrt(jnp.sum(ks**2, axis=(1, 2)))
+            ks_small = ks_norm < u_threshold
 
-            if feature_spec is not None:
-                from ..ops.pallas_linesearch import pallas_sindy_line_search
+            ls_umin = (
+                umin if ubounds is not None else jnp.full((dc,), -jnp.inf)
+            )
+            ls_umax = (
+                umax if ubounds is not None else jnp.full((dc,), jnp.inf)
+            )
+            if feature_spec is not None and fuse_ls and cost.is_quad:
+                from ..ops.pallas_linesearch import pallas_fused_line_search
 
                 library, coeffs_key = feature_spec
                 TB = min(128, B)
-                ls_umin = (
-                    umin if ubounds is not None
-                    else jnp.full((dc,), -jnp.inf)
-                )
-                ls_umax = (
-                    umax if ubounds is not None
-                    else jnp.full((dc,), jnp.inf)
-                )
-                ls_xs, ls_us = pallas_sindy_line_search(
+                (new_xs, new_us, new_obj, ls_success,
+                 failed_now) = pallas_fused_line_search(
                     tuple(library._fns), x0s, xs, us, Ks, ks,
-                    params[coeffs_key], alphas,
-                    ls_umin, ls_umax,
+                    params[coeffs_key], alphas, ls_umin, ls_umax,
+                    cost._Q, cost._R, cost._F, cost._goal, dt,
+                    c["obj"], lin_red, quad_red, ks_small,
+                    ls_cost_threshold=ls_cost_threshold,
                     block_b=TB if B % TB == 0 else B,
                 )
             else:
-                ls_xs, ls_us = jax.vmap(
-                    lambda x0, xs_, us_, K_, k_: line_search_one(
-                        params, x0, xs_, us_, K_, k_
+                if feature_spec is not None:
+                    from ..ops.pallas_linesearch import (
+                        pallas_sindy_line_search,
                     )
-                )(x0s, xs, us, Ks, ks)
-            new_objs = jax.vmap(jax.vmap(eval_obj_one))(ls_xs, ls_us)  # (B, L)
-            expect = alphas[None, :] * lin_red[:, None] + (
-                alphas[None, :] ** 2
-            ) * quad_red[:, None] / 2
-            denom = -expect
-            ratios = jnp.where(
-                jnp.abs(denom) > 1e-30,
-                (c["obj"][:, None] - new_objs) / denom,
-                -jnp.inf,
-            )
-            accept = ratios > ls_cost_threshold
-            ks_small = ks_norm < u_threshold
-            any_acc = jnp.any(accept, axis=1)
-            first_acc = jnp.argmax(accept, axis=1)
-            chosen = jnp.where(
-                ks_small, 0,
-                jnp.where(any_acc, first_acc, jnp.argmin(new_objs, axis=1)),
-            )
-            take = jax.vmap(lambda a, i: a[i])
-            best_obj = take(new_objs, chosen)
-            ls_success = (best_obj < c["obj"]) | ks_small
-            idx_last = jnp.where(
-                ks_small, 0, jnp.where(any_acc, first_acc, ls_max_iter - 1)
-            )
-            last_obj = take(new_objs, idx_last)
-            failed_now = (~ls_success) & (last_obj > c["obj"] + 1e-3)
 
-            sel = jnp.where(ls_success, chosen, idx_last)
-            new_xs = take(ls_xs, sel)
-            new_us = take(ls_us, sel)
-            new_obj = jnp.where(ls_success, best_obj, last_obj)
+                    library, coeffs_key = feature_spec
+                    TB = min(128, B)
+                    ls_xs, ls_us = pallas_sindy_line_search(
+                        tuple(library._fns), x0s, xs, us, Ks, ks,
+                        params[coeffs_key], alphas,
+                        ls_umin, ls_umax,
+                        block_b=TB if B % TB == 0 else B,
+                    )
+                else:
+                    ls_xs, ls_us = jax.vmap(
+                        lambda x0, xs_, us_, K_, k_: line_search_one(
+                            params, x0, xs_, us_, K_, k_
+                        )
+                    )(x0s, xs, us, Ks, ks)
+                new_objs = jax.vmap(jax.vmap(eval_obj_one))(ls_xs, ls_us)
+                expect = alphas[None, :] * lin_red[:, None] + (
+                    alphas[None, :] ** 2
+                ) * quad_red[:, None] / 2
+                denom = -expect
+                ratios = jnp.where(
+                    jnp.abs(denom) > 1e-30,
+                    (c["obj"][:, None] - new_objs) / denom,
+                    -jnp.inf,
+                )
+                accept = ratios > ls_cost_threshold
+                any_acc = jnp.any(accept, axis=1)
+                first_acc = jnp.argmax(accept, axis=1)
+                chosen = jnp.where(
+                    ks_small, 0,
+                    jnp.where(
+                        any_acc, first_acc, jnp.argmin(new_objs, axis=1)
+                    ),
+                )
+                take = jax.vmap(lambda a, i: a[i])
+                best_obj = take(new_objs, chosen)
+                ls_success = (best_obj < c["obj"]) | ks_small
+                idx_last = jnp.where(
+                    ks_small, 0,
+                    jnp.where(any_acc, first_acc, ls_max_iter - 1),
+                )
+                last_obj = take(new_objs, idx_last)
+                failed_now = (~ls_success) & (last_obj > c["obj"] + 1e-3)
+
+                sel = jnp.where(ls_success, chosen, idx_last)
+                new_xs = take(ls_xs, sel)
+                new_us = take(ls_us, sel)
+                new_obj = jnp.where(ls_success, best_obj, last_obj)
 
             Jx_lin, Ju_lin = jax.vmap(
                 lambda xs_, us_: relinearize_one(params, xs_, us_)

@@ -209,3 +209,293 @@ def pallas_sindy_line_search(
     ls_xs = jnp.transpose(out_xsT, (3, 1, 0, 2))       # (B, L, H+1, ds)
     ls_us = jnp.transpose(out_usT, (3, 1, 0, 2))       # (B, L, H, dc)
     return ls_xs, ls_us
+
+
+# ---------------------------------------------------------------------------
+# Fused line search + quadratic objective + acceptance selection
+# ---------------------------------------------------------------------------
+
+
+def _tree_sum(vals):
+    """Balanced summation (f32 left-folds over many terms visibly change
+    iLQR convergence vs the XLA scan path)."""
+    while len(vals) > 1:
+        nxt = [vals[i] + vals[i + 1] for i in range(0, len(vals) - 1, 2)]
+        if len(vals) % 2:
+            nxt.append(vals[-1])
+        vals = nxt
+    return vals[0]
+
+
+def _fused_kernel(term_fns, ds, dc, obsdim, H, L, dt, ls_thresh,
+                  x0_ref, xs_ref, us_ref, Ks_ref, ks_ref, coeffs_ref,
+                  alphas_ref, umin_ref, umax_ref,
+                  Q_ref, R_ref, F_ref, goal_ref,
+                  obj0_ref, lin_ref, quad_ref, kssmall_ref,
+                  out_xs_ref, out_us_ref, out_obj_ref, out_succ_ref,
+                  out_fail_ref):
+    """One batch block; ALL alphas live in this program as sublanes.
+
+    Pass 1 rolls all L candidate step sizes, accumulating the quadratic
+    objective dt*((x-g)'Q(x-g) + u'Ru) + terminal (x-g)'F(x-g) in
+    registers — no per-alpha trajectories ever leave VMEM. The
+    reference's acceptance rule (ilqr.py:208-233: first alpha passing
+    the 0.3 expected-reduction test, else the objective argmin, with the
+    worsens-by->1e-3 failure case) then runs on (L, TB) slabs, and pass
+    2 re-rolls only the selected alpha to emit the accepted trajectory.
+    """
+    TB = x0_ref.shape[-1]
+    F_feat = coeffs_ref.shape[1]
+    alphas = [alphas_ref[l, 0] for l in range(L)]
+    alpha_col = jnp.stack(alphas)[:, None]             # (L, 1)
+    umin = [umin_ref[j, 0] for j in range(dc)]
+    umax = [umax_ref[j, 0] for j in range(dc)]
+    goal = [goal_ref[i, 0] for i in range(obsdim)]
+
+    def controls(x, xbar_t, ubar_t, K_t, k_t, alpha):
+        """Feedback + clip for one step; x is a list of per-component
+        slabs, alpha broadcasts against them."""
+        dx = [x[i] - xbar_t[i] for i in range(ds)]
+        u = []
+        for j in range(dc):
+            fb = _tree_sum([K_t[j][i] * dx[i] for i in range(ds)])
+            uj = alpha * k_t[j] + ubar_t[j] + fb
+            u.append(jnp.clip(uj, umin[j], umax[j]))
+        return u
+
+    def quad_form(vec, M_ref, n):
+        terms = []
+        for i in range(n):
+            for j in range(n):
+                terms.append(M_ref[i, j] * vec[i] * vec[j])
+        return _tree_sum(terms)
+
+    def step_dynamics(x, u):
+        z = _VecZ(x + u)
+        theta = [fn(z) for fn in term_fns]
+        return [
+            _tree_sum([coeffs_ref[i, k] * theta[k] for k in range(F_feat)])
+            for i in range(ds)
+        ]
+
+    # ---- pass 1: all alphas, objective only -------------------------
+    x = [
+        jnp.broadcast_to(x0_ref[i][None, :], (L, TB)) for i in range(ds)
+    ]
+
+    def body1(t, carry):
+        obj = carry[-1]
+        x = list(carry[:-1])
+        xbar = [xs_ref[t, i][None, :] for i in range(ds)]
+        ubar = [us_ref[t, j][None, :] for j in range(dc)]
+        K_t = [[Ks_ref[t, j, i][None, :] for i in range(ds)]
+               for j in range(dc)]
+        k_t = [ks_ref[t, j][None, :] for j in range(dc)]
+        u = controls(x, xbar, ubar, K_t, k_t, alpha_col)
+        dxg = [x[i] - goal[i] for i in range(obsdim)]
+        oc = quad_form(dxg, Q_ref, obsdim)
+        cc = quad_form(u, R_ref, dc)
+        obj = obj + dt * (oc + cc)
+        x_new = step_dynamics(x, u)
+        return tuple(x_new) + (obj,)
+
+    out1 = jax.lax.fori_loop(
+        0, H, body1, tuple(x) + (jnp.zeros((L, TB), dtype=x[0].dtype),)
+    )
+    x_fin = list(out1[:-1])
+    objs = out1[-1]
+    dxg = [x_fin[i] - goal[i] for i in range(obsdim)]
+    objs = objs + quad_form(dxg, F_ref, obsdim)        # (L, TB)
+
+    # ---- acceptance selection on (TB,) lanes -------------------------
+    obj0 = obj0_ref[0]
+    lin = lin_ref[0]
+    quad = quad_ref[0]
+    ks_small = kssmall_ref[0] > 0.5
+
+    obj_l = [objs[l] for l in range(L)]
+    accept = []
+    for l in range(L):
+        expect = alphas[l] * lin + (alphas[l] ** 2) * quad * 0.5
+        denom = -expect
+        ratio = jnp.where(
+            jnp.abs(denom) > 1e-30, (obj0 - obj_l[l]) / denom, -jnp.inf
+        )
+        accept.append(ratio > ls_thresh)
+    any_acc = accept[0]
+    for l in range(1, L):
+        any_acc = any_acc | accept[l]
+    # First acceptor (float indices: exact for L <= 2**24).
+    first_acc = jnp.full((TB,), float(L), dtype=obj0.dtype)
+    for l in range(L - 1, -1, -1):
+        first_acc = jnp.where(accept[l], float(l), first_acc)
+    # Objective argmin.
+    best_idx = jnp.zeros((TB,), dtype=obj0.dtype)
+    best_val = obj_l[0]
+    for l in range(1, L):
+        better = obj_l[l] < best_val
+        best_idx = jnp.where(better, float(l), best_idx)
+        best_val = jnp.where(better, obj_l[l], best_val)
+
+    zerof = jnp.zeros((TB,), dtype=obj0.dtype)
+    chosen = jnp.where(
+        ks_small, zerof, jnp.where(any_acc, first_acc, best_idx)
+    )
+    idx_last = jnp.where(
+        ks_small, zerof, jnp.where(any_acc, first_acc, float(L - 1))
+    )
+
+    def gather_obj(idx):
+        v = obj_l[0]
+        for l in range(1, L):
+            v = jnp.where(idx == float(l), obj_l[l], v)
+        return v
+
+    chosen_obj = gather_obj(chosen)
+    ls_success = (chosen_obj < obj0) | ks_small
+    last_obj = gather_obj(idx_last)
+    failed = (~ls_success) & (last_obj > obj0 + 1e-3)
+    sel = jnp.where(ls_success, chosen, idx_last)
+    new_obj = jnp.where(ls_success, chosen_obj, last_obj)
+
+    alpha_sel = jnp.full((TB,), 0.0, dtype=obj0.dtype)
+    for l in range(L):
+        alpha_sel = jnp.where(sel == float(l), alphas[l], alpha_sel)
+
+    out_obj_ref[0] = new_obj
+    out_succ_ref[0] = ls_success.astype(new_obj.dtype)
+    out_fail_ref[0] = failed.astype(new_obj.dtype)
+
+    # ---- pass 2: re-roll only the selected alpha ---------------------
+    a_sel = alpha_sel[None, :]                         # (1, TB)
+    x2 = [x0_ref[i][None, :] for i in range(ds)]
+    for i in range(ds):
+        out_xs_ref[0, i] = x2[i][0]
+
+    def body2(t, x_tuple):
+        x2 = list(x_tuple)
+        xbar = [xs_ref[t, i][None, :] for i in range(ds)]
+        ubar = [us_ref[t, j][None, :] for j in range(dc)]
+        K_t = [[Ks_ref[t, j, i][None, :] for i in range(ds)]
+               for j in range(dc)]
+        k_t = [ks_ref[t, j][None, :] for j in range(dc)]
+        u = controls(x2, xbar, ubar, K_t, k_t, a_sel)
+        x_new = step_dynamics(x2, u)
+        for i in range(ds):
+            out_xs_ref[t + 1, i] = x_new[i][0]
+        for j in range(dc):
+            out_us_ref[t, j] = u[j][0]
+        return tuple(x_new)
+
+    jax.lax.fori_loop(0, H, body2, tuple(x2))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "term_fns", "dt", "ls_cost_threshold", "block_b", "interpret",
+    ),
+)
+def pallas_fused_line_search(
+    term_fns, x0, xs, us, Ks, ks, coeffs, alphas, umin, umax,
+    Q, R, F, goal, dt, obj0, lin_red, quad_red, ks_small,
+    ls_cost_threshold: float = 0.3,
+    block_b: int = 128, interpret: bool = False,
+):
+    """Fused line search for linear-in-features models and quadratic
+    costs: rolls all alphas, evaluates the iLQR objective in-register,
+    applies the reference acceptance rule (ilqr.py:208-233), and emits
+    ONLY the selected trajectory — the (B, L, H, ds) candidate window
+    never touches HBM.
+
+    Extra parameters vs ``pallas_sindy_line_search``:
+    Q/F (obsdim, obsdim), R (dc, dc), goal (obsdim,) — the quadratic
+    cost; dt — stage-cost scale; obj0/lin_red/quad_red (B,) — current
+    objective and expected-reduction coefficients from the backward
+    pass; ks_small (B,) bool — the ||k|| < tol fast-accept flag.
+
+    Returns (new_xs (B, H+1, ds), new_us (B, H, dc), new_obj (B,),
+    ls_success (B,) bool, failed (B,) bool).
+    """
+    B, Hp1, ds = xs.shape
+    H = Hp1 - 1
+    dc = us.shape[-1]
+    L = alphas.shape[0]
+    obsdim = Q.shape[0]
+    TB = min(block_b, B)
+    if B % TB != 0:
+        raise ValueError(f"batch {B} not divisible by block {TB}")
+
+    x0T = jnp.transpose(x0, (1, 0))
+    xsT = jnp.transpose(xs[:, :H], (1, 2, 0))
+    usT = jnp.transpose(us, (1, 2, 0))
+    KsT = jnp.transpose(Ks, (1, 2, 3, 0))
+    ksT = jnp.transpose(ks, (1, 2, 0))
+    dtype = xs.dtype
+    alphas2 = alphas[:, None].astype(dtype)
+    umin2 = jnp.broadcast_to(
+        jnp.asarray(umin, dtype=dtype).reshape(-1, 1), (dc, 1)
+    )
+    umax2 = jnp.broadcast_to(
+        jnp.asarray(umax, dtype=dtype).reshape(-1, 1), (dc, 1)
+    )
+    goal2 = jnp.asarray(goal, dtype=dtype).reshape(obsdim, 1)
+    row = lambda a: a[None, :].astype(dtype)  # (1, B) lanes-last
+
+    kernel = functools.partial(
+        _fused_kernel, term_fns, ds, dc, obsdim, H, L,
+        float(dt), float(ls_cost_threshold),
+    )
+    grid = (B // TB,)
+
+    def vspec(prefix):
+        nd = len(prefix)
+        return pl.BlockSpec(
+            prefix + (TB,), lambda i, nd=nd: (0,) * nd + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    def sspec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.SMEM)
+
+    out_xsT, out_usT, objT, succT, failT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            vspec((ds,)), vspec((H, ds)), vspec((H, dc)),
+            vspec((H, dc, ds)), vspec((H, dc)),
+            sspec(coeffs.shape), sspec((L, 1)),
+            sspec((dc, 1)), sspec((dc, 1)),
+            sspec((obsdim, obsdim)), sspec((dc, dc)),
+            sspec((obsdim, obsdim)), sspec((obsdim, 1)),
+            vspec((1,)), vspec((1,)), vspec((1,)), vspec((1,)),
+        ],
+        out_specs=(
+            vspec((H + 1, ds)),
+            vspec((H, dc)),
+            vspec((1,)),
+            vspec((1,)),
+            vspec((1,)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H + 1, ds, B), dtype),
+            jax.ShapeDtypeStruct((H, dc, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+        ),
+        interpret=interpret,
+    )(x0T, xsT, usT, KsT, ksT, coeffs.astype(dtype), alphas2,
+      umin2, umax2,
+      jnp.asarray(Q, dtype=dtype), jnp.asarray(R, dtype=dtype),
+      jnp.asarray(F, dtype=dtype), goal2,
+      row(obj0), row(lin_red), row(quad_red),
+      row(ks_small.astype(dtype)))
+
+    new_xs = jnp.transpose(out_xsT, (2, 0, 1))         # (B, H+1, ds)
+    new_us = jnp.transpose(out_usT, (2, 0, 1))         # (B, H, dc)
+    return (
+        new_xs, new_us, objT[0],
+        succT[0] > 0.5, failT[0] > 0.5,
+    )

@@ -71,9 +71,14 @@ def main():
     else:
         from autompc_tpu.control.ilqr import make_batched_ilqr_solver
 
-        feature_spec = None
-        if os.environ.get("BENCH_LS", "pallas") == "pallas":
-            feature_spec = (model.library, "coeffs")
+        # BENCH_LS: "pallas" (rollout kernel, default), "fused"
+        # (objective+acceptance inside the kernel too; a wash at this
+        # shape), "off" (XLA scan).
+        ls_mode = os.environ.get("BENCH_LS", "pallas")
+        feature_spec = (
+            (model.library, "coeffs") if ls_mode in ("fused", "pallas")
+            else None
+        )
         batch_solve = jax.jit(
             make_batched_ilqr_solver(
                 model.pred_core, cost,
@@ -81,6 +86,7 @@ def main():
                 ubounds=(bounds[:, 0], bounds[:, 1]),
                 backward=backward,
                 feature_spec=feature_spec,
+                fuse_ls=(ls_mode == "fused"),
             )
         )
 

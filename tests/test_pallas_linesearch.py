@@ -142,6 +142,124 @@ def test_multi_control_matches_scan():
             )
 
 
+class TestFusedLineSearch:
+    """pallas_fused_line_search vs the unfused reference composition
+    (rollout kernel + XLA objective + acceptance selection)."""
+
+    def _reference(self, model, cost_mats, x0, xs, us, Ks, ks, alphas,
+                   umin, umax, dt, obj0, lin_red, quad_red, ks_small,
+                   thresh=0.3):
+        Q, R, F, goal = cost_mats
+        B, Hp1, ds = xs.shape
+        H = Hp1 - 1
+        L = alphas.shape[0]
+        params = model.params
+
+        def rollout(b_, alpha):
+            def step(x, inp):
+                xbar, ubar, K, k = inp
+                u = jnp.clip(alpha * k + ubar + K @ (x - xbar), umin, umax)
+                x1 = model.pred_core(params, x, u)
+                return x1, (x1, u)
+
+            _, (xs1, us1) = jax.lax.scan(
+                step, x0[b_], (xs[b_, :H], us[b_], Ks[b_], ks[b_])
+            )
+            return jnp.concatenate([x0[b_][None], xs1], axis=0), us1
+
+        def eval_obj(xs_, us_):
+            dx = xs_[:H] - goal
+            oc = jnp.einsum("ti,ij,tj->", dx, Q, dx)
+            cc = jnp.einsum("tj,jk,tk->", us_, R, us_)
+            dxT = xs_[H] - goal
+            return dt * (oc + cc) + dxT @ F @ dxT
+
+        out = []
+        for b_ in range(B):
+            objs = np.array([
+                float(eval_obj(*rollout(b_, alphas[l]))) for l in range(L)
+            ])
+            expect = np.asarray(alphas) * lin_red[b_] + (
+                np.asarray(alphas) ** 2
+            ) * quad_red[b_] / 2
+            denom = -expect
+            ratios = np.where(
+                np.abs(denom) > 1e-30, (obj0[b_] - objs) / denom, -np.inf
+            )
+            accept = ratios > thresh
+            any_acc = accept.any()
+            first_acc = int(np.argmax(accept))
+            chosen = (
+                0 if ks_small[b_]
+                else (first_acc if any_acc else int(np.argmin(objs)))
+            )
+            best_obj = objs[chosen]
+            ls_success = (best_obj < obj0[b_]) or bool(ks_small[b_])
+            idx_last = (
+                0 if ks_small[b_] else (first_acc if any_acc else L - 1)
+            )
+            last_obj = objs[idx_last]
+            failed = (not ls_success) and (last_obj > obj0[b_] + 1e-3)
+            sel = chosen if ls_success else idx_last
+            new_obj = best_obj if ls_success else last_obj
+            ref_xs, ref_us = rollout(b_, alphas[sel])
+            out.append((ref_xs, ref_us, new_obj, ls_success, failed))
+        return out
+
+    def test_matches_reference_composition(self, model):
+        rng = np.random.default_rng(7)
+        B, H, ds = 4, 9, 4
+        x0 = jnp.asarray(rng.uniform(-1, 1, (B, ds)))
+        xs = jnp.asarray(rng.uniform(-1, 1, (B, H + 1, ds)))
+        us = jnp.asarray(rng.uniform(-2, 2, (B, H, 1)))
+        Ks = jnp.asarray(rng.normal(size=(B, H, 1, ds)) * 0.3)
+        ks = jnp.asarray(rng.normal(size=(B, H, 1)))
+        alphas = 0.2 ** jnp.arange(5, dtype=x0.dtype)
+        Q = jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01]))
+        R = 0.001 * jnp.eye(1)
+        F = jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01]))
+        goal = jnp.zeros(4)
+        dt = 0.05
+        # Mix of plausible solver states: some lanes mid-descent, one
+        # ks-small lane, spreads of expected reductions.
+        obj0 = jnp.asarray(rng.uniform(5.0, 50.0, (B,)))
+        lin_red = jnp.asarray(-rng.uniform(0.1, 5.0, (B,)))
+        quad_red = jnp.asarray(-rng.uniform(0.1, 5.0, (B,)))
+        ks_small = jnp.array([False, True, False, False])
+
+        from autompc_tpu.ops.pallas_linesearch import (
+            pallas_fused_line_search,
+        )
+
+        new_xs, new_us, new_obj, succ, failed = pallas_fused_line_search(
+            tuple(model.library._fns), x0, xs, us, Ks, ks,
+            model.coeffs, alphas, -20.0, 20.0,
+            Q, R, F, goal, dt, obj0, lin_red, quad_red, ks_small,
+            block_b=B, interpret=True,
+        )
+        ref = self._reference(
+            model, (np.asarray(Q), np.asarray(R), np.asarray(F),
+                    np.asarray(goal)),
+            x0, xs, us, Ks, ks, np.asarray(alphas), -20.0, 20.0, dt,
+            np.asarray(obj0), np.asarray(lin_red), np.asarray(quad_red),
+            np.asarray(ks_small),
+        )
+        for b_, (ref_xs, ref_us, ref_obj, ref_succ, ref_failed) in enumerate(ref):
+            assert bool(succ[b_]) == ref_succ, b_
+            assert bool(failed[b_]) == ref_failed, b_
+            np.testing.assert_allclose(
+                float(new_obj[b_]), ref_obj, rtol=1e-5, atol=1e-7
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_xs[b_]), np.asarray(ref_xs),
+                rtol=1e-6, atol=1e-8,
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_us[b_]), np.asarray(ref_us),
+                rtol=1e-6, atol=1e-8,
+            )
+
+
 def test_multi_block(model):
     rng = np.random.default_rng(1)
     B, H, ds = 8, 5, 4
