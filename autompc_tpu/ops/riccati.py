@@ -145,6 +145,109 @@ def tvlqr_backward_scan(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn, unroll=1):
 
 
 # ---------------------------------------------------------------------------
+# Parallel (associative-scan) time-varying LQR backward pass
+# ---------------------------------------------------------------------------
+
+
+def tvlqr_backward_assoc(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn):
+    """Parallel-in-time TVLQR backward pass: O(log H) depth via
+    ``lax.associative_scan`` (sequence-dimension parallelism over the
+    MPC horizon; SURVEY §5 "long-context" mapping, cf. PAPERS.md
+    "The Parallelization of Riccati Recursion").
+
+    The value recursion of ``tvlqr_backward_scan`` is, in closed form,
+
+        V_t = Q + F'(I + V C)^{-1} V F
+        v_t = q + F'(I + V C)^{-1} (v - V b)
+
+    with F = Jx, Q = Cxx, q = cx, C = Ju Cuu^{-1} Ju',
+    b = Ju Cuu^{-1} cu, and (V, v) the time-t+1 value expansion. Maps of
+    this 5-tuple family (A=F, b, C, eta=q, J=Q) are closed under
+    composition:
+
+        D  = (I + C_i J_j)^{-1},  Dt = (I + J_j C_i)^{-1}
+        A  = A_j D A_i            C   = A_j D C_i A_j' + C_j
+        b  = A_j D (b_i + C_i eta_j) + b_j
+        eta= A_i' Dt (eta_j - J_j b_i) + eta_i
+        J  = A_i' Dt J_j A_i + J_i
+
+    (i earlier in time than j; the composed element applies the later
+    map first). Suffix compositions of the per-step elements give every
+    (V_t, v_t) at once; gains/expected-reductions are then pointwise.
+
+    Requires Cuu invertible (true for the quadratic costs the tuner
+    emits: R diagonal >= 1e-3, costs/quad_cost_factory.py). Matches
+    ``tvlqr_backward_scan`` to f32 reassociation; exact in f64.
+    """
+    H, ds, dc = Jacs_u.shape
+    eye = jnp.eye(ds, dtype=Vn.dtype)
+
+    # Per-step elements. Note sign convention: the scratch map uses
+    # (v + V b) with b = -Ju Cuu^{-1} cu.
+    def element(Jx, Ju, Q, R, q, r):
+        RiJu = solve_small(R, Ju.T)           # (dc, ds) = Cuu^{-1} Ju'
+        C = Ju @ RiJu                          # (ds, ds)
+        b = -Ju @ solve_small(R, r)            # (ds,)
+        return Jx, b, C, q, Q
+
+    A_e, b_e, C_e, eta_e, J_e = jax.vmap(element)(
+        Jacs_x, Jacs_u, Cxx, Cuu, cx, cu
+    )
+
+    def combine(earlier, later):
+        Ai, bi, Ci, etai, Ji = earlier
+        Aj, bj, Cj, etaj, Jj = later
+        D = jnp.linalg.solve(eye + Ci @ Jj, eye)
+        Dt = jnp.linalg.solve(eye + Jj @ Ci, eye)
+        A = Aj @ D @ Ai
+        C = Aj @ D @ Ci @ Aj.T + Cj
+        b = Aj @ D @ (bi - Ci @ etaj) + bj
+        eta = Ai.T @ Dt @ (etaj + Jj @ bi) + etai
+        J = Ai.T @ Dt @ Jj @ Ai + Ji
+        return A, b, C, eta, J
+
+    # Suffix compositions: E_t = e_t (*) e_{t+1} (*) ... (*) e_{H-1}.
+    # Flip time via a gather (NOT reverse=True / jnp.flip: the Reverse
+    # HLO trips an XLA-CPU AlgebraicSimplifier check-failure when this
+    # runs inside vmap+while_loop), scan forward, and unflip. After the
+    # flip the accumulated first combine argument is the LATER-in-time
+    # block, so swap into combine's (earlier, later) signature.
+    idx = jnp.arange(H - 1, -1, -1)
+    flip = lambda x: jnp.take(x, idx, axis=0)
+    flipped = jax.tree_util.tree_map(
+        flip, (A_e, b_e, C_e, eta_e, J_e)
+    )
+    suffix_flipped = jax.lax.associative_scan(
+        jax.vmap(lambda a, b: combine(b, a)), flipped
+    )
+    suffix = jax.tree_util.tree_map(flip, suffix_flipped)
+
+    def apply_elem(A, b, C, eta, J):
+        M = jnp.linalg.solve(eye + Vn @ C, jnp.stack([vn + Vn @ b], axis=-1))
+        Mv = M[:, 0]
+        W = jnp.linalg.solve(eye + Vn @ C, Vn)
+        return J + A.T @ W @ A, eta + A.T @ Mv
+
+    V_all, v_all = jax.vmap(apply_elem)(*suffix)       # t = 0..H-1
+    V_next = jnp.concatenate([V_all[1:], Vn[None]], axis=0)
+    v_next = jnp.concatenate([v_all[1:], vn[None]], axis=0)
+
+    def gains(Jx, Ju, R, r, V, v):
+        JuV = Ju.T @ V
+        Quu = R + JuV @ Ju
+        Qux = JuV @ Jx
+        qu = r + Ju.T @ v
+        K = -solve_small(Quu, Qux)
+        k = -solve_small(Quu, qu)
+        return K, k, qu @ k, k @ Quu @ k
+
+    Ks, ks, lin_t, quad_t = jax.vmap(gains)(
+        Jacs_x, Jacs_u, Cuu, cu, V_next, v_next
+    )
+    return Ks, ks, jnp.sum(lin_t), jnp.sum(quad_t)
+
+
+# ---------------------------------------------------------------------------
 # Parallel (associative-scan) linear rollout
 # ---------------------------------------------------------------------------
 

@@ -125,3 +125,63 @@ def test_affine_rollout_parallel_matches_scan():
     np.testing.assert_allclose(
         np.asarray(xs_par), np.asarray(xs_seq), rtol=1e-9, atol=1e-9
     )
+
+
+@pytest.mark.parametrize("H,ds,dc", [(7, 3, 1), (12, 4, 2), (40, 5, 3)])
+def test_tvlqr_backward_assoc_matches_scan(H, ds, dc):
+    """Associative-scan TVLQR backward pass (O(log H) depth) equals the
+    sequential recursion — gains, feedforwards, and the expected-
+    reduction accumulators used by the line-search acceptance test."""
+    from autompc_tpu.ops.riccati import (
+        tvlqr_backward_assoc,
+        tvlqr_backward_scan,
+    )
+
+    rng = np.random.default_rng(H * 10 + ds)
+    Jx = jnp.asarray(rng.normal(size=(H, ds, ds)) * 0.4 + np.eye(ds))
+    Ju = jnp.asarray(rng.normal(size=(H, ds, dc)) * 0.3)
+    Cxx = jnp.asarray(
+        np.stack([np.diag(rng.uniform(0.1, 2.0, ds)) for _ in range(H)])
+    )
+    Cuu = jnp.asarray(
+        np.stack([np.diag(rng.uniform(0.05, 1.0, dc)) for _ in range(H)])
+    )
+    cx = jnp.asarray(rng.normal(size=(H, ds)))
+    cu = jnp.asarray(rng.normal(size=(H, dc)))
+    Vn = jnp.asarray(np.diag(rng.uniform(0.1, 3.0, ds)))
+    vn = jnp.asarray(rng.normal(size=ds))
+
+    Ks_s, ks_s, lin_s, quad_s = tvlqr_backward_scan(
+        Jx, Ju, Cxx, Cuu, cx, cu, Vn, vn
+    )
+    Ks_a, ks_a, lin_a, quad_a = tvlqr_backward_assoc(
+        Jx, Ju, Cxx, Cuu, cx, cu, Vn, vn
+    )
+    np.testing.assert_allclose(np.asarray(Ks_a), np.asarray(Ks_s),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ks_a), np.asarray(ks_s),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(float(lin_a), float(lin_s), rtol=1e-7)
+    np.testing.assert_allclose(float(quad_a), float(quad_s), rtol=1e-7)
+
+
+def test_batched_assoc_backward_matches_scan(setup):
+    """backward='assoc' inside the batched solver reproduces the
+    backward='scan' solve end to end."""
+    b, model, cost, common = setup
+    sc = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan", **common
+    )
+    asc = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="assoc", **common
+    )
+    rng = np.random.default_rng(2)
+    B = 4
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 4)))
+    ug = jnp.zeros((B, common["H"], 1))
+    out_s = jax.jit(sc)(model.params, x0s, ug)
+    out_a = jax.jit(asc)(model.params, x0s, ug)
+    np.testing.assert_array_equal(np.asarray(out_s[0]), np.asarray(out_a[0]))
+    np.testing.assert_allclose(
+        np.asarray(out_s[2]), np.asarray(out_a[2]), atol=1e-6
+    )
