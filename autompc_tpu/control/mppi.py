@@ -69,6 +69,13 @@ class MPPIFactory(ControllerFactory):
 
 class MPPI(Controller):
     def __init__(self, system, task, model, **kwargs):
+        """Extra TPU-native kwargs beyond the reference's
+        (mppi.py:50-63): ``mesh`` — a ``jax.sharding.Mesh`` whose FIRST
+        axis shards the sampled-rollout batch across devices (the
+        ``rollout`` axis of SURVEY §2c; lets num_path scale past one
+        chip's HBM/FLOPs). The path batch, noise draws, and per-path
+        costs carry sharding constraints; XLA inserts the ICI
+        collectives for the softmax-weight reduction."""
         super().__init__(system, task, model)
         self.kwargs = kwargs
         cost = task.get_cost()
@@ -78,6 +85,23 @@ class MPPI(Controller):
         self.sigma = float(kwargs.get("sigma", 1.0))
         self.lmda = float(kwargs.get("lmda", 1.0))
         self.seed = int(kwargs.get("seed", 0))
+        self.mesh = kwargs.get("mesh", None)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = self.mesh.axis_names[0]
+            n_shard = self.mesh.devices.shape[0]
+            if self.num_path % n_shard != 0:
+                raise ValueError(
+                    f"num_path {self.num_path} not divisible by mesh "
+                    f"axis '{axis}' size {n_shard}"
+                )
+            self._path_sharding = NamedSharding(
+                self.mesh, PartitionSpec(axis)
+            )
+            self._eps_sharding = NamedSharding(
+                self.mesh, PartitionSpec(None, axis)
+            )
         self.dim_state = model.state_dim
         self.dim_ctrl = system.ctrl_dim
 
@@ -129,6 +153,11 @@ class MPPI(Controller):
             key, (self.H, self.num_path, self.dim_ctrl)
         )
         path0 = jnp.broadcast_to(x0, (self.num_path, self.dim_state))
+        if self.mesh is not None:
+            eps = jax.lax.with_sharding_constraint(eps, self._eps_sharding)
+            path0 = jax.lax.with_sharding_constraint(
+                path0, self._path_sharding
+            )
 
         def stage(carry, inp):
             path, costs, act_cost = carry

@@ -178,3 +178,39 @@ class TestMPPIFanout:
         costs = np.asarray(fanout(batch))
         assert costs.shape == (B,)
         assert np.isfinite(costs).all()
+
+
+class TestMPPIRolloutSharding:
+    def test_sharded_paths_match_single_device(self, setup):
+        """MPPI with the sampled-rollout axis sharded over the 8-device
+        mesh produces the same control sequence as the unsharded
+        controller (same PRNG stream; reductions reassociate)."""
+        from autompc_tpu.control import MPPI
+        from autompc_tpu.utils import simulate
+
+        benchmark, model = setup
+        task = benchmark.task.copy()
+        task.set_num_steps(10)
+        mesh = make_mesh(axis_names=("rollout",))
+        kw = dict(horizon=8, num_path=128, sigma=1.0, lmda=0.5, seed=3)
+        con_plain = MPPI(benchmark.system, task, model, **kw)
+        con_shard = MPPI(benchmark.system, task, model, mesh=mesh, **kw)
+
+        x0 = np.array([3.1, 0.0, 0.0, 0.0])
+        traj_p = simulate(con_plain, x0, term_cond=task.term_cond,
+                          sim_model=model, max_steps=10)
+        traj_s = simulate(con_shard, x0, term_cond=task.term_cond,
+                          sim_model=model, max_steps=10)
+        np.testing.assert_allclose(
+            np.asarray(traj_s.ctrls), np.asarray(traj_p.ctrls),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_num_path_not_divisible_raises(self, setup):
+        from autompc_tpu.control import MPPI
+
+        benchmark, model = setup
+        mesh = make_mesh(axis_names=("rollout",))
+        with pytest.raises(ValueError, match="not divisible"):
+            MPPI(benchmark.system, benchmark.task, model,
+                 horizon=8, num_path=100, mesh=mesh)
