@@ -432,7 +432,48 @@ class ConfigurationSpace:
             if parent not in self._hyperparameters:
                 raise ValueError(f"Unknown parent {parent}")
         self._conditions.append(cond)
+        cycle = self._find_condition_cycle()
+        if cycle is not None:
+            self._conditions.pop()
+            raise ValueError(
+                "Condition cycle: " + " -> ".join(cycle)
+                + " (activity of each depends on the next)"
+            )
         return cond
+
+    def _find_condition_cycle(self) -> Optional[List[str]]:
+        """DFS over the child->parent dependency graph; returns a cycle
+        as a name path, or None. Guards ``_is_active``'s recursion —
+        ConfigSpace likewise rejects cyclic conditions at build time."""
+        graph: Dict[str, List[str]] = {}
+        for cond in self._conditions:
+            graph.setdefault(cond.child, []).extend(
+                self._parents_of_condition(cond)
+            )
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = {name: WHITE for name in self._hyperparameters}
+        stack_path: List[str] = []
+
+        def dfs(node: str) -> Optional[List[str]]:
+            color[node] = GRAY
+            stack_path.append(node)
+            for parent in graph.get(node, ()):
+                if color[parent] == GRAY:
+                    return stack_path[stack_path.index(parent):] + [parent]
+                if color[parent] == WHITE:
+                    found = dfs(parent)
+                    if found is not None:
+                        return found
+            stack_path.pop()
+            color[node] = BLACK
+            return None
+
+        for name in graph:
+            if color[name] == WHITE:
+                found = dfs(name)
+                if found is not None:
+                    return found
+        return None
 
     def add_conditions(self, conds: Sequence[Condition]):
         for c in conds:
