@@ -17,6 +17,10 @@ class ModelEvaluator(ABC):
         self.system = system
         self.trajs = list(trajs) if not hasattr(trajs, "to_list") else trajs.to_list()
         self.rng = rng
+        # Introspection for batched fast paths (tuning/bucketed.py):
+        # which named metric and horizon this evaluator scores with.
+        self.metric_name = metric if isinstance(metric, str) else None
+        self.horizon = horizon
         if isinstance(metric, str):
             if metric == "rmse":
                 self.metric = lambda model, trajs: get_model_rmse(

@@ -30,12 +30,22 @@ and the incumbent config/cost at each iteration
 class ModelTuner:
     """Tunes system-ID models based on prediction accuracy."""
 
-    def __init__(self, system, evaluator, eval_batch: int = 4):
+    def __init__(self, system, evaluator, eval_batch: int = 4,
+                 use_bucketed: bool = True):
         """``evaluator`` scores (model_factory, cfg) pairs; ``eval_batch``
-        is the number of configurations proposed per BO round."""
+        is the number of configurations proposed per BO round.
+
+        ``use_bucketed=True`` routes ARX candidates through the
+        shape-padded batch trainer (tuning/bucketed.py): every history
+        value in a batch trains and scores inside ONE compiled program
+        instead of recompiling per candidate. Requires a
+        HoldoutModelEvaluator with the "rmse" metric; other
+        configurations fall back to the per-config path."""
         self.system = system
         self.evaluator = evaluator
         self.eval_batch = int(eval_batch)
+        self.use_bucketed = bool(use_bucketed)
+        self._arx_bucket = None
         self.model_factories = []
 
     def add_model_factory(self, model_factory, cs=None):
@@ -83,6 +93,62 @@ class ModelTuner:
             value = float("inf")
         return value
 
+    # -- bucketed ARX fast path ----------------------------------------
+    def _arx_bucket_ready(self):
+        """The bucketed trainer applies when the evaluator is a holdout
+        RMSE evaluator and an ARX factory is registered."""
+        from ..evaluation import HoldoutModelEvaluator
+
+        return (
+            self.use_bucketed
+            and isinstance(self.evaluator, HoldoutModelEvaluator)
+            and self.evaluator.metric_name == "rmse"
+            and any(f.name == "ARX" for f, _ in self.model_factories)
+        )
+
+    def _evaluate_batch(self, cfgs):
+        """Evaluate a batch: ARX candidates go through the bucketed
+        batch program, everything else through the per-config path."""
+        costs = [None] * len(cfgs)
+        arx_idx = []
+        if self._arx_bucket_ready():
+            arx_idx = [
+                i for i, cfg in enumerate(cfgs) if cfg["model"] == "ARX"
+            ]
+        if arx_idx:
+            try:
+                if self._arx_bucket is None:
+                    from .bucketed import ARXBucketEvaluator
+
+                    factory, cs = next(
+                        (f, cs) for f, cs in self.model_factories
+                        if f.name == "ARX"
+                    )
+                    kmax = cs.get_hyperparameter("history").upper
+                    self._arx_bucket = ARXBucketEvaluator(
+                        self.system,
+                        self.evaluator.training_set,
+                        self.evaluator.holdout,
+                        kmax=kmax,
+                        horizon=self.evaluator.horizon,
+                    )
+                    self._arx_overrides = getattr(factory, "kwargs", {})
+                ks = [
+                    int(self._arx_overrides.get(
+                        "history", cfgs[i].get("_ARX:history", 4)
+                    ))
+                    for i in arx_idx
+                ]
+                vals = self._arx_bucket(ks)
+                for j, i in enumerate(arx_idx):
+                    costs[i] = vals[j]
+            except Exception:
+                arx_idx = []  # fall back below
+        for i, cfg in enumerate(cfgs):
+            if costs[i] is None:
+                costs[i] = self._evaluate(cfg)
+        return costs
+
     def run(self, rng, n_iters=10):
         """Run tuning; returns (final trained model, ModelTuneResult)."""
         if hasattr(rng, "integers"):
@@ -96,7 +162,7 @@ class ModelTuner:
         remaining = int(n_iters)
         while remaining > 0:
             batch = bo.ask(min(self.eval_batch, remaining))
-            costs = [self._evaluate(cfg) for cfg in batch]
+            costs = self._evaluate_batch(batch)
             bo.tell(batch, costs)
             evaluated_cfgs.extend(batch)
             evaluated_costs.extend(costs)
