@@ -236,6 +236,7 @@ def make_batched_ilqr_solver(
     feature_spec=None,
     analytic_jac: bool = False,
     fuse_ls: bool = False,
+    block_b: int = 128,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
     (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
@@ -268,6 +269,10 @@ def make_batched_ilqr_solver(
     extra re-roll of the selected alpha. Measured a wash at the
     headline shape (B=4096, H=200, ds=4: 4483 vs 4585 solves/s) —
     useful when VMEM/HBM pressure dominates (larger L, ds, or H).
+
+    ``block_b``: batch lanes per Pallas kernel program (both the
+    backward-pass and line-search kernels); must divide the batch or
+    equal it.
     """
     if ubounds is not None:
         umin = jnp.asarray(ubounds[0])
@@ -382,7 +387,7 @@ def make_batched_ilqr_solver(
                 from ..ops.pallas_riccati import pallas_tvlqr_backward
 
                 # Pad batch to the kernel's block size.
-                TB = min(128, B)
+                TB = min(block_b, B)
                 Ks, ks, lin_red, quad_red = pallas_tvlqr_backward(
                     c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn,
                     block_b=TB if B % TB == 0 else B,
@@ -410,7 +415,7 @@ def make_batched_ilqr_solver(
                 from ..ops.pallas_linesearch import pallas_fused_line_search
 
                 library, coeffs_key = feature_spec
-                TB = min(128, B)
+                TB = min(block_b, B)
                 (new_xs, new_us, new_obj, ls_success,
                  failed_now) = pallas_fused_line_search(
                     tuple(library._fns), x0s, xs, us, Ks, ks,
@@ -427,7 +432,7 @@ def make_batched_ilqr_solver(
                     )
 
                     library, coeffs_key = feature_spec
-                    TB = min(128, B)
+                    TB = min(block_b, B)
                     ls_xs, ls_us = pallas_sindy_line_search(
                         tuple(library._fns), x0s, xs, us, Ks, ks,
                         params[coeffs_key], alphas,

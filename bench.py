@@ -87,6 +87,7 @@ def main():
                 backward=backward,
                 feature_spec=feature_spec,
                 fuse_ls=(ls_mode == "fused"),
+                block_b=int(os.environ.get("BENCH_BLOCK", "128")),
             )
         )
 
