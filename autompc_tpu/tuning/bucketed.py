@@ -130,6 +130,228 @@ def make_arx_bucket_program(system, kmax: int, horizon: int = 1):
     return jax.jit(evaluate)
 
 
+def _mlp_masks(nxu, nx, widths, max_width):
+    """Per-layer weight/bias masks embedding an MLP with hidden widths
+    ``widths`` inside the max-width net. Masking is applied INSIDE the
+    forward pass, so masked entries never influence the loss — their
+    gradients are exactly zero and the active entries train exactly as
+    the unpadded net's would (Adam moments included)."""
+    L = len(widths)
+    wmasks, bmasks = [], []
+    col = np.zeros(max_width)
+    col[: widths[0]] = 1.0
+    wmasks.append(np.broadcast_to(col, (nxu, max_width)).copy())
+    bmasks.append(col.copy())
+    for i in range(1, L):
+        row = np.zeros(max_width)
+        row[: widths[i - 1]] = 1.0
+        col = np.zeros(max_width)
+        col[: widths[i]] = 1.0
+        wmasks.append(np.outer(row, col))
+        bmasks.append(col.copy())
+    row = np.zeros(max_width)
+    row[: widths[-1]] = 1.0
+    wmasks.append(np.broadcast_to(row[:, None], (max_width, nx)).copy())
+    bmasks.append(np.ones(nx))
+    return wmasks, bmasks
+
+
+def _mlp_padded_init(key, nxu, nx, widths, max_width):
+    """Exactly the per-config net's initial weights (sysid/mlp.py:
+    net_init key schedule for the candidate's true sizes), embedded in
+    the padded max-width layout."""
+    from ..sysid.mlp import net_init
+
+    sizes = [nxu] + [int(w) for w in widths] + [nx]
+    small = net_init(key, sizes)
+    L = len(widths)
+    shapes = (
+        [(nxu, max_width)]
+        + [(max_width, max_width)] * (L - 1)
+        + [(max_width, nx)]
+    )
+    padded = []
+    for layer, shape in zip(small, shapes):
+        W = np.zeros(shape)
+        w_small = np.asarray(layer["W"])
+        W[: w_small.shape[0], : w_small.shape[1]] = w_small
+        b = np.zeros(shape[1])
+        b_small = np.asarray(layer["b"])
+        b[: b_small.shape[0]] = b_small
+        padded.append({"W": jnp.asarray(W), "b": jnp.asarray(b)})
+    return padded
+
+
+class MLPBucketEvaluator:
+    """Masked max-width MLP bucket: every (widths, lr) candidate with
+    the same (n_hidden_layers, nonlintype) trains through ONE compiled
+    vmapped program — the whole Adam run (epochs x minibatches as nested
+    scans, sysid/mlp.py:198-223 semantics) plus the k-step holdout RMSE.
+
+    Width padding is exact (see _mlp_masks); training matches the
+    per-config MLP.train to floating-point reassociation. The per-
+    candidate learning rate is traced (scale_by_adam + explicit -lr
+    scaling), so one program covers the whole continuous lr range."""
+
+    def __init__(self, system, training_set, holdout, n_hidden_layers,
+                 nonlintype, horizon: int = 1, max_width: int = 256,
+                 n_train_iters: int = 50, n_batch: int = 64,
+                 seed: int = 100):
+        import optax
+
+        from ..sysid.mlp import _NONLIN
+
+        self.system = system
+        self.L = int(n_hidden_layers)
+        self.nonlintype = str(nonlintype)
+        self.max_width = int(max_width)
+        self.horizon = int(horizon)
+        self.seed = int(seed)
+        nx, nu = system.obs_dim, system.ctrl_dim
+        nxu = nx + nu
+        self._nxu, self._nx = nxu, nx
+
+        # Stage training pairs + z-scoring exactly as MLP.train
+        # (sysid/mlp.py:158-179).
+        tb = traj_batch(training_set)
+        mask = np.asarray(tb.step_mask())
+        obs = np.asarray(tb.obs)
+        ctrls = np.asarray(tb.ctrls)
+        idx_b, idx_t = np.nonzero(mask)
+        X = obs[idx_b, idx_t]
+        U = ctrls[idx_b, idx_t]
+        dY = obs[idx_b, idx_t + 1] - obs[idx_b, idx_t]
+        XU = np.concatenate([X, U], axis=1)
+        xu_means = XU.mean(axis=0)
+        xu_std = np.where(XU.std(axis=0) > 1e-12, XU.std(axis=0), 1.0)
+        dy_means = dY.mean(axis=0)
+        dy_std = np.where(dY.std(axis=0) > 1e-12, dY.std(axis=0), 1.0)
+        self._norm = tuple(
+            jnp.asarray(v) for v in (xu_means, xu_std, dy_means, dy_std)
+        )
+        XUt = (jnp.asarray(XU) - self._norm[0]) / self._norm[1]
+        dYt = (jnp.asarray(dY) - self._norm[2]) / self._norm[3]
+
+        tb_h = traj_batch(holdout)
+        hold = (tb_h.obs, tb_h.ctrls, tb_h.lengths)
+
+        n = XUt.shape[0]
+        n_batch = int(n_batch)
+        nb = max(n // n_batch, 1)
+        n_used = nb * n_batch
+        act = _NONLIN[self.nonlintype]
+        n_train_iters = int(n_train_iters)
+        horizon = self.horizon
+
+        def apply(net, wmasks, bmasks, x):
+            for layer, wm, bm in zip(net[:-1], wmasks[:-1], bmasks[:-1]):
+                x = act(x @ (layer["W"] * wm) + layer["b"] * bm)
+            out, wm, bm = net[-1], wmasks[-1], bmasks[-1]
+            return x @ (out["W"] * wm) + out["b"] * bm
+
+        def train_eval_one(params0, wmasks, bmasks, lr, key):
+            gtx = optax.scale_by_adam()
+            opt_state = gtx.init(params0)
+
+            def loss_fn(p, xb, yb):
+                pred = apply(p, wmasks, bmasks, xb)
+                return jnp.mean(optax.huber_loss(pred, yb, delta=1.0))
+
+            def epoch(carry, _):
+                params, opt_state, key = carry
+                key, kp = jax.random.split(key)
+                perm = jax.random.permutation(kp, n)[:n_used]
+                xb = XUt[perm].reshape(nb, n_batch, -1)
+                yb = dYt[perm].reshape(nb, n_batch, -1)
+
+                def step(c, batch_xy):
+                    params, opt_state = c
+                    x, y = batch_xy
+                    loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+                    updates, opt_state = gtx.update(grads, opt_state)
+                    updates = jax.tree_util.tree_map(
+                        lambda u: -lr * u, updates
+                    )
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    step, (params, opt_state), (xb, yb)
+                )
+                return (params, opt_state, key), jnp.mean(losses)
+
+            (params, _, _), _ = jax.lax.scan(
+                epoch, (params0, opt_state, key), None,
+                length=n_train_iters,
+            )
+
+            # k-step holdout RMSE (model_metrics.py semantics) with the
+            # MLP delta prediction (sysid/mlp.py:238-243).
+            xu_means, xu_std, dy_means, dy_std = self._norm
+
+            def pred(states, u):
+                xu = jnp.concatenate([states, u], axis=-1)
+                xut = (xu - xu_means) / xu_std
+                dyt = apply(params, wmasks, bmasks, xut)
+                return states + (dyt * dy_std + dy_means)
+
+            hobs, hctrls, hlens = hold
+            T = hobs.shape[1]
+
+            def per_traj(obs, ctrls, length):
+                states0 = obs[: T - horizon]
+
+                def step(carry, k):
+                    state, _ = carry
+                    u = jax.lax.dynamic_slice_in_dim(
+                        ctrls, k, T - horizon, axis=0
+                    )
+                    return (pred(state, u), state), None
+
+                (final, _), _ = jax.lax.scan(
+                    step, (states0, states0), jnp.arange(horizon)
+                )
+                errs = (final - obs[horizon:]) ** 2
+                valid = (jnp.arange(T - horizon) + horizon) < length
+                return jnp.sum(errs * valid[:, None]), jnp.sum(valid) * nx
+
+            sums, counts = jax.vmap(per_traj)(hobs, hctrls, hlens)
+            return jnp.sqrt(jnp.sum(sums) / jnp.sum(counts) * nx)
+
+        self._program = jax.jit(
+            jax.vmap(train_eval_one, in_axes=(0, 0, 0, 0, None))
+        )
+
+    def __call__(self, width_lists, lrs):
+        """width_lists: list of length-L int lists; lrs: list of floats.
+        Returns float RMSEs aligned with the candidates."""
+        C = len(width_lists)
+        key = jax.random.PRNGKey(self.seed)
+        key, k_init = jax.random.split(key)
+        params0, wmasks, bmasks = [], [], []
+        for widths in width_lists:
+            params0.append(_mlp_padded_init(
+                k_init, self._nxu, self._nx, widths, self.max_width
+            ))
+            wm, bm = _mlp_masks(
+                self._nxu, self._nx, widths, self.max_width
+            )
+            wmasks.append([jnp.asarray(m) for m in wm])
+            bmasks.append([jnp.asarray(m) for m in bm])
+
+        stack = lambda seqs: jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *seqs
+        )
+        rmses = self._program(
+            stack(params0), stack(wmasks), stack(bmasks),
+            jnp.asarray([float(lr) for lr in lrs]), key,
+        )
+        out = np.asarray(rmses)
+        return [
+            float(v) if np.isfinite(v) else float("inf") for v in out
+        ]
+
+
 class ARXBucketEvaluator:
     """Caches the jitted bucket program and the staged train/holdout
     arrays for a (training_set, holdout, horizon) triple; maps a list of

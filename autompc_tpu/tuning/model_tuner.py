@@ -35,17 +35,20 @@ class ModelTuner:
         """``evaluator`` scores (model_factory, cfg) pairs; ``eval_batch``
         is the number of configurations proposed per BO round.
 
-        ``use_bucketed=True`` routes ARX candidates through the
-        shape-padded batch trainer (tuning/bucketed.py): every history
-        value in a batch trains and scores inside ONE compiled program
-        instead of recompiling per candidate. Requires a
-        HoldoutModelEvaluator with the "rmse" metric; other
-        configurations fall back to the per-config path."""
+        ``use_bucketed=True`` routes ARX and MLP candidates through the
+        shape-padded batch trainers (tuning/bucketed.py): every ARX
+        history value trains and scores inside ONE compiled program,
+        and every MLP (widths, lr) candidate with the same
+        (n_hidden_layers, nonlintype) trains through one masked
+        max-width program. Requires a HoldoutModelEvaluator with the
+        "rmse" metric; other configurations fall back to the per-config
+        path."""
         self.system = system
         self.evaluator = evaluator
         self.eval_batch = int(eval_batch)
         self.use_bucketed = bool(use_bucketed)
         self._arx_bucket = None
+        self._mlp_buckets = {}
         self.model_factories = []
 
     def add_model_factory(self, model_factory, cs=None):
@@ -93,57 +96,115 @@ class ModelTuner:
             value = float("inf")
         return value
 
-    # -- bucketed ARX fast path ----------------------------------------
-    def _arx_bucket_ready(self):
-        """The bucketed trainer applies when the evaluator is a holdout
-        RMSE evaluator and an ARX factory is registered."""
+    # -- bucketed fast paths --------------------------------------------
+    def _bucket_ready(self, name):
+        """Bucketed trainers apply when the evaluator is a holdout RMSE
+        evaluator and the named factory is registered."""
         from ..evaluation import HoldoutModelEvaluator
 
         return (
             self.use_bucketed
             and isinstance(self.evaluator, HoldoutModelEvaluator)
             and self.evaluator.metric_name == "rmse"
-            and any(f.name == "ARX" for f, _ in self.model_factories)
+            and any(f.name == name for f, _ in self.model_factories)
         )
 
-    def _evaluate_batch(self, cfgs):
-        """Evaluate a batch: ARX candidates go through the bucketed
-        batch program, everything else through the per-config path."""
-        costs = [None] * len(cfgs)
-        arx_idx = []
-        if self._arx_bucket_ready():
-            arx_idx = [
-                i for i, cfg in enumerate(cfgs) if cfg["model"] == "ARX"
-            ]
-        if arx_idx:
-            try:
-                if self._arx_bucket is None:
-                    from .bucketed import ARXBucketEvaluator
+    def _factory_overrides(self, name):
+        factory = next(
+            f for f, _ in self.model_factories if f.name == name
+        )
+        return getattr(factory, "kwargs", {})
 
-                    factory, cs = next(
-                        (f, cs) for f, cs in self.model_factories
-                        if f.name == "ARX"
-                    )
-                    kmax = cs.get_hyperparameter("history").upper
-                    self._arx_bucket = ARXBucketEvaluator(
-                        self.system,
-                        self.evaluator.training_set,
-                        self.evaluator.holdout,
-                        kmax=kmax,
-                        horizon=self.evaluator.horizon,
-                    )
-                    self._arx_overrides = getattr(factory, "kwargs", {})
-                ks = [
-                    int(self._arx_overrides.get(
-                        "history", cfgs[i].get("_ARX:history", 4)
-                    ))
-                    for i in arx_idx
-                ]
-                vals = self._arx_bucket(ks)
-                for j, i in enumerate(arx_idx):
-                    costs[i] = vals[j]
+    def _eval_arx_bucket(self, cfgs, idxs, costs):
+        from .bucketed import ARXBucketEvaluator
+
+        if self._arx_bucket is None:
+            _, cs = next(
+                (f, cs) for f, cs in self.model_factories
+                if f.name == "ARX"
+            )
+            self._arx_bucket = ARXBucketEvaluator(
+                self.system,
+                self.evaluator.training_set,
+                self.evaluator.holdout,
+                kmax=cs.get_hyperparameter("history").upper,
+                horizon=self.evaluator.horizon,
+            )
+        over = self._factory_overrides("ARX")
+        ks = [
+            int(over.get("history", cfgs[i].get("_ARX:history", 4)))
+            for i in idxs
+        ]
+        vals = self._arx_bucket(ks)
+        for j, i in enumerate(idxs):
+            costs[i] = vals[j]
+
+    def _eval_mlp_bucket(self, cfgs, idxs, costs):
+        """Group MLP candidates by (n_hidden_layers, nonlintype) — the
+        static shape/trace bucket — and run each group's (widths, lr)
+        batch through one masked max-width program."""
+        from .bucketed import MLPBucketEvaluator
+
+        over = self._factory_overrides("MLP")
+
+        def cv(cfg, name, default):
+            if name in over:
+                return over[name]
+            return cfg.get(f"_MLP:{name}", default)
+
+        groups = {}
+        for i in idxs:
+            cfg = cfgs[i]
+            L = int(cv(cfg, "n_hidden_layers", "2"))
+            nlt = str(cv(cfg, "nonlintype", "relu"))
+            base = int(cv(cfg, "hidden_size", 128))
+            widths = [
+                int(cv(cfg, f"hidden_size_{j + 1}", base))
+                for j in range(L)
+            ]
+            lr = float(cv(cfg, "lr", 1e-3))
+            groups.setdefault((L, nlt), []).append((i, widths, lr))
+
+        for (L, nlt), items in groups.items():
+            bkey = ("MLP", L, nlt)
+            if bkey not in self._mlp_buckets:
+                self._mlp_buckets[bkey] = MLPBucketEvaluator(
+                    self.system,
+                    self.evaluator.training_set,
+                    self.evaluator.holdout,
+                    n_hidden_layers=L,
+                    nonlintype=nlt,
+                    horizon=self.evaluator.horizon,
+                    n_train_iters=int(over.get("n_train_iters", 50)),
+                    n_batch=int(over.get("n_batch", 64)),
+                    seed=int(over.get("seed", 100)),
+                )
+            vals = self._mlp_buckets[bkey](
+                [w for _, w, _ in items], [lr for _, _, lr in items]
+            )
+            for (i, _, _), v in zip(items, vals):
+                costs[i] = v
+
+    def _evaluate_batch(self, cfgs):
+        """Evaluate a batch: ARX/MLP candidates go through the bucketed
+        batch programs, everything else through the per-config path."""
+        costs = [None] * len(cfgs)
+        for name, runner in (
+            ("ARX", self._eval_arx_bucket),
+            ("MLP", self._eval_mlp_bucket),
+        ):
+            if not self._bucket_ready(name):
+                continue
+            idxs = [
+                i for i, cfg in enumerate(cfgs) if cfg["model"] == name
+            ]
+            if not idxs:
+                continue
+            try:
+                runner(cfgs, idxs, costs)
             except Exception:
-                arx_idx = []  # fall back below
+                for i in idxs:
+                    costs[i] = None  # fall back below
         for i, cfg in enumerate(cfgs):
             if costs[i] is None:
                 costs[i] = self._evaluate(cfg)

@@ -74,3 +74,87 @@ class TestModelTunerBucketedPath:
         ]
         for cs, cf in zip(res_seq.costs, res_fast.costs):
             assert cf == pytest.approx(cs, rel=1e-6)
+
+
+class TestMLPBucketEvaluator:
+    def test_matches_per_config_training(self, data):
+        """Masked max-width training equals the per-config MLP train +
+        holdout RMSE (same init placement, same Adam trajectory; only
+        matmul reassociation differs)."""
+        from autompc_tpu.evaluation import get_model_rmse
+        from autompc_tpu.sysid.mlp import MLP
+        from autompc_tpu.tuning.bucketed import MLPBucketEvaluator
+
+        b, trajs = data
+        training, holdout = trajs[:24], trajs[24:]
+        bucket = MLPBucketEvaluator(
+            b.system, training, holdout, n_hidden_layers=2,
+            nonlintype="tanh", horizon=1, max_width=48,
+            n_train_iters=4, n_batch=32,
+        )
+        widths = [[16, 24], [48, 32]]
+        lrs = [1e-3, 3e-3]
+        got = bucket(widths, lrs)
+        for (w1, w2), lr, batched in zip(widths, lrs, got):
+            model = MLP(
+                b.system, n_hidden_layers=2, nonlintype="tanh",
+                hidden_size_1=w1, hidden_size_2=w2, lr=lr,
+                n_train_iters=4, n_batch=32,
+            )
+            model.train(training)
+            expected = get_model_rmse(model, holdout, horizon=1)
+            assert batched == pytest.approx(expected, rel=1e-5), (w1, w2)
+
+    def test_sigmoid_masking_is_exact(self, data):
+        """sigmoid(0) = 0.5 on masked units — the in-forward weight
+        masks must still make the padded net equal the small net."""
+        from autompc_tpu.evaluation import get_model_rmse
+        from autompc_tpu.sysid.mlp import MLP
+        from autompc_tpu.tuning.bucketed import MLPBucketEvaluator
+
+        b, trajs = data
+        training, holdout = trajs[:24], trajs[24:]
+        bucket = MLPBucketEvaluator(
+            b.system, training, holdout, n_hidden_layers=1,
+            nonlintype="sigmoid", horizon=1, max_width=32,
+            n_train_iters=3, n_batch=32,
+        )
+        got = bucket([[20]], [1e-3])
+        model = MLP(
+            b.system, n_hidden_layers=1, nonlintype="sigmoid",
+            hidden_size_1=20, lr=1e-3, n_train_iters=3, n_batch=32,
+        )
+        model.train(training)
+        expected = get_model_rmse(model, holdout, horizon=1)
+        assert got[0] == pytest.approx(expected, rel=1e-5)
+
+
+class TestModelTunerMLPBucketedPath:
+    def test_tuner_costs_match_sequential(self, data):
+        from autompc_tpu.sysid import MLPFactory
+
+        b, trajs = data
+
+        def run(use_bucketed):
+            rng = np.random.default_rng(13)
+            evaluator = HoldoutModelEvaluator(
+                system=b.system, trajs=trajs, metric="rmse", rng=rng,
+                holdout_prop=0.25,
+            )
+            tuner = ModelTuner(
+                b.system, evaluator, eval_batch=3,
+                use_bucketed=use_bucketed,
+            )
+            tuner.add_model_factory(
+                MLPFactory(b.system, n_train_iters=3, n_batch=32)
+            )
+            _, result = tuner.run(rng, n_iters=3)
+            return result
+
+        res_seq = run(False)
+        res_fast = run(True)
+        assert [c.get_dictionary() for c in res_seq.cfgs] == [
+            c.get_dictionary() for c in res_fast.cfgs
+        ]
+        for cs, cf in zip(res_seq.costs, res_fast.costs):
+            assert cf == pytest.approx(cs, rel=1e-4)
