@@ -130,6 +130,94 @@ def make_arx_bucket_program(system, kmax: int, horizon: int = 1):
     return jax.jit(evaluate)
 
 
+class SINDyBucketEvaluator:
+    """SINDy bucket: candidates sharing the basis-library configuration
+    (method, time_mode, poly/trig settings) differ only in the traced
+    regularization scalar — the STLSQ threshold or the lasso alpha — so
+    the whole batch trains through one vmapped solve over the shared
+    feature matrix and scores through one vmapped k-step RMSE."""
+
+    def __init__(self, system, training_set, holdout, bucket_cfg: dict,
+                 horizon: int = 1):
+        from ..ops.lstsq import fista_lasso, stlsq
+        from ..sysid.sindy import SINDy
+
+        self.system = system
+        self.horizon = int(horizon)
+        self.method = bucket_cfg.get("method", "lstsq")
+        skeleton = SINDy(system, **bucket_cfg)
+        library = skeleton.library
+        time_mode = skeleton.time_mode
+        n = system.obs_dim
+        dt = system.dt
+        horizon = self.horizon
+
+        tb = traj_batch(training_set)
+        feats = library(jnp.concatenate([tb.obs, tb.ctrls], axis=-1))
+        if time_mode == "continuous":
+            from ..sysid.basis import finite_difference
+
+            targets = jax.vmap(lambda o: finite_difference(o, dt))(tb.obs)
+            mask = tb.mask()
+        else:
+            targets = jnp.roll(tb.obs, -1, axis=1)
+            mask = tb.step_mask()
+        A = feats.reshape(-1, library.n_features)
+        y = targets.reshape(-1, n)
+        rmask = mask.reshape(-1)
+
+        tb_h = traj_batch(holdout)
+        hobs, hctrls, hlens = tb_h.obs, tb_h.ctrls, tb_h.lengths
+        T = hobs.shape[1]
+        method = self.method
+
+        def train_eval_one(reg):
+            if method == "lasso":
+                coefs = fista_lasso(A, y, reg, mask=rmask)
+            else:
+                coefs = stlsq(A, y, reg, mask=rmask)
+            coeffs = coefs.T                     # (n, F)
+
+            def pred(states, u):
+                theta = library(jnp.concatenate([states, u], axis=-1))
+                out = theta @ coeffs.T
+                if time_mode == "continuous":
+                    return states + dt * out
+                return out
+
+            def per_traj(obs, ctrls, length):
+                states0 = obs[: T - horizon]
+
+                def step(carry, k):
+                    state, _ = carry
+                    u = jax.lax.dynamic_slice_in_dim(
+                        ctrls, k, T - horizon, axis=0
+                    )
+                    return (pred(state, u), state), None
+
+                (final, _), _ = jax.lax.scan(
+                    step, (states0, states0), jnp.arange(horizon)
+                )
+                errs = (final - obs[horizon:]) ** 2
+                valid = (jnp.arange(T - horizon) + horizon) < length
+                return jnp.sum(errs * valid[:, None]), jnp.sum(valid) * n
+
+            sums, counts = jax.vmap(per_traj)(hobs, hctrls, hlens)
+            return jnp.sqrt(jnp.sum(sums) / jnp.sum(counts) * n)
+
+        self._program = jax.jit(jax.vmap(train_eval_one))
+
+    def __call__(self, regs):
+        """regs: STLSQ thresholds (method=lstsq) or lasso alphas
+        (method=lasso). Returns float RMSEs aligned with regs."""
+        out = np.asarray(self._program(jnp.asarray(
+            [float(r) for r in regs]
+        )))
+        return [
+            float(v) if np.isfinite(v) else float("inf") for v in out
+        ]
+
+
 def _mlp_masks(nxu, nx, widths, max_width):
     """Per-layer weight/bias masks embedding an MLP with hidden widths
     ``widths`` inside the max-width net. Masking is applied INSIDE the

@@ -35,20 +35,22 @@ class ModelTuner:
         """``evaluator`` scores (model_factory, cfg) pairs; ``eval_batch``
         is the number of configurations proposed per BO round.
 
-        ``use_bucketed=True`` routes ARX and MLP candidates through the
-        shape-padded batch trainers (tuning/bucketed.py): every ARX
-        history value trains and scores inside ONE compiled program,
-        and every MLP (widths, lr) candidate with the same
+        ``use_bucketed=True`` routes ARX, MLP, and SINDy candidates
+        through the batch trainers (tuning/bucketed.py): every ARX
+        history value trains and scores inside ONE compiled program;
+        every MLP (widths, lr) candidate with the same
         (n_hidden_layers, nonlintype) trains through one masked
-        max-width program. Requires a HoldoutModelEvaluator with the
-        "rmse" metric; other configurations fall back to the per-config
-        path."""
+        max-width program; every SINDy candidate with the same basis
+        library vmaps over its regularization scalar. Requires a
+        HoldoutModelEvaluator with the "rmse" metric; other
+        configurations fall back to the per-config path."""
         self.system = system
         self.evaluator = evaluator
         self.eval_batch = int(eval_batch)
         self.use_bucketed = bool(use_bucketed)
         self._arx_bucket = None
         self._mlp_buckets = {}
+        self._sindy_buckets = {}
         self.model_factories = []
 
     def add_model_factory(self, model_factory, cs=None):
@@ -185,13 +187,64 @@ class ModelTuner:
             for (i, _, _), v in zip(items, vals):
                 costs[i] = v
 
+    def _eval_sindy_bucket(self, cfgs, idxs, costs):
+        """Group SINDy candidates by their basis-library configuration;
+        within a group only the regularization scalar (STLSQ threshold
+        or lasso alpha) varies, so the group trains as one vmapped
+        solve."""
+        from .bucketed import SINDyBucketEvaluator
+
+        over = self._factory_overrides("SINDy")
+
+        def cv(cfg, name, default):
+            if name in over:
+                return over[name]
+            return cfg.get(f"_SINDy:{name}", default)
+
+        groups = {}
+        for i in idxs:
+            cfg = cfgs[i]
+            bucket_cfg = dict(
+                method=str(cv(cfg, "method", "lstsq")),
+                time_mode=str(cv(cfg, "time_mode", "discrete")),
+                poly_basis=cv(cfg, "poly_basis", "false"),
+                poly_degree=int(cv(cfg, "poly_degree", 3)),
+                poly_cross_terms=cv(cfg, "poly_cross_terms", "false"),
+                trig_basis=cv(cfg, "trig_basis", "false"),
+                trig_freq=int(cv(cfg, "trig_freq", 1)),
+                trig_interaction=cv(cfg, "trig_interaction", "false"),
+            )
+            reg = (
+                float(cv(cfg, "lasso_alpha", 1.0))
+                if bucket_cfg["method"] == "lasso"
+                else float(cv(cfg, "threshold", 1e-2))
+            )
+            key = tuple(sorted(bucket_cfg.items()))
+            groups.setdefault(key, (bucket_cfg, []))[1].append((i, reg))
+
+        for key, (bucket_cfg, items) in groups.items():
+            bkey = ("SINDy", key)
+            if bkey not in self._sindy_buckets:
+                self._sindy_buckets[bkey] = SINDyBucketEvaluator(
+                    self.system,
+                    self.evaluator.training_set,
+                    self.evaluator.holdout,
+                    bucket_cfg,
+                    horizon=self.evaluator.horizon,
+                )
+            vals = self._sindy_buckets[bkey]([r for _, r in items])
+            for (i, _), v in zip(items, vals):
+                costs[i] = v
+
     def _evaluate_batch(self, cfgs):
-        """Evaluate a batch: ARX/MLP candidates go through the bucketed
-        batch programs, everything else through the per-config path."""
+        """Evaluate a batch: ARX/MLP/SINDy candidates go through the
+        bucketed batch programs, everything else through the per-config
+        path."""
         costs = [None] * len(cfgs)
         for name, runner in (
             ("ARX", self._eval_arx_bucket),
             ("MLP", self._eval_mlp_bucket),
+            ("SINDy", self._eval_sindy_bucket),
         ):
             if not self._bucket_ready(name):
                 continue

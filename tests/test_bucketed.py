@@ -158,3 +158,77 @@ class TestModelTunerMLPBucketedPath:
         ]
         for cs, cf in zip(res_seq.costs, res_fast.costs):
             assert cf == pytest.approx(cs, rel=1e-4)
+
+
+class TestSINDyBucketEvaluator:
+    @pytest.mark.parametrize("method", ["lstsq", "lasso"])
+    def test_matches_per_config_training(self, data, method):
+        from autompc_tpu.evaluation import get_model_rmse
+        from autompc_tpu.sysid import SINDy
+        from autompc_tpu.tuning.bucketed import SINDyBucketEvaluator
+
+        b, trajs = data
+        training, holdout = trajs[:24], trajs[24:]
+        bucket_cfg = dict(
+            method=method, time_mode="discrete",
+            trig_basis="true", trig_freq=1, trig_interaction="true",
+            poly_basis="false", poly_degree=3, poly_cross_terms="false",
+        )
+        bucket = SINDyBucketEvaluator(
+            b.system, training, holdout, bucket_cfg, horizon=2
+        )
+        regs = [1e-3, 1e-1] if method == "lstsq" else [1e-4, 1e-2]
+        got = bucket(regs)
+        for reg, batched in zip(regs, got):
+            kw = dict(bucket_cfg)
+            if method == "lasso":
+                kw["lasso_alpha"] = reg
+            else:
+                kw["threshold"] = reg
+            model = SINDy(b.system, **kw)
+            model.train(training)
+            expected = get_model_rmse(model, holdout, horizon=2)
+            if np.isfinite(expected):
+                assert batched == pytest.approx(expected, rel=1e-6), reg
+            else:
+                assert not np.isfinite(batched)
+
+
+class TestModelTunerMixedBucketedPath:
+    def test_mixed_factories_match_sequential(self, data):
+        """ARX + SINDy + MLP in one tuner: bucketed batch evaluation
+        scores every candidate identically to the per-config path."""
+        from autompc_tpu.sysid import MLPFactory, SINDyFactory
+
+        b, trajs = data
+
+        def run(use_bucketed):
+            rng = np.random.default_rng(21)
+            evaluator = HoldoutModelEvaluator(
+                system=b.system, trajs=trajs, metric="rmse", rng=rng,
+                holdout_prop=0.25,
+            )
+            tuner = ModelTuner(
+                b.system, evaluator, eval_batch=4,
+                use_bucketed=use_bucketed,
+            )
+            tuner.add_model_factory(ARXFactory(b.system))
+            tuner.add_model_factory(SINDyFactory(b.system))
+            tuner.add_model_factory(
+                MLPFactory(b.system, n_train_iters=2, n_batch=32)
+            )
+            _, result = tuner.run(rng, n_iters=8)
+            return result
+
+        res_seq = run(False)
+        res_fast = run(True)
+        assert [c.get_dictionary() for c in res_seq.cfgs] == [
+            c.get_dictionary() for c in res_fast.cfgs
+        ]
+        for cs, cf in zip(res_seq.costs, res_fast.costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=1e-4), (
+                    res_seq.costs, res_fast.costs,
+                )
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
