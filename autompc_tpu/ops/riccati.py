@@ -149,6 +149,31 @@ def tvlqr_backward_scan(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn, unroll=1):
 # ---------------------------------------------------------------------------
 
 
+def solve_unrolled(A, B):
+    """Fixed-size linear solve by unrolled Gaussian elimination with
+    partial pivoting — pure VPU arithmetic, no LU custom call. The
+    batched LU kernel faults the TPU runtime when issued at large
+    batch inside a while_loop (observed at B*H >~ 2e5 in the
+    associative-scan Riccati), and for the tiny matrices MPC produces
+    an unrolled elimination is faster anyway. A (n, n), B (n, k)."""
+    n = A.shape[0]
+    M = jnp.concatenate([A, B], axis=1)          # (n, n+k)
+    for col in range(n):
+        # Partial pivot: swap the max-|.| row into place via a
+        # permutation matrix (traceable, no dynamic slicing).
+        rest = jnp.abs(M[col:, col])
+        p = col + jnp.argmax(rest)
+        rows = jnp.arange(n)
+        perm = jnp.where(rows == col, p, jnp.where(rows == p, col, rows))
+        M = M[perm]
+        pivot = M[col, col]
+        factor = M[:, col] / pivot
+        elim = jnp.where(rows == col, 0.0, factor)
+        M = M - elim[:, None] * M[col][None, :]
+        M = M.at[col].set(M[col] / pivot)
+    return M[:, n:]
+
+
 def tvlqr_backward_assoc(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn):
     """Parallel-in-time TVLQR backward pass: O(log H) depth via
     ``lax.associative_scan`` (sequence-dimension parallelism over the
@@ -197,8 +222,8 @@ def tvlqr_backward_assoc(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn):
     def combine(earlier, later):
         Ai, bi, Ci, etai, Ji = earlier
         Aj, bj, Cj, etaj, Jj = later
-        D = jnp.linalg.solve(eye + Ci @ Jj, eye)
-        Dt = jnp.linalg.solve(eye + Jj @ Ci, eye)
+        D = solve_unrolled(eye + Ci @ Jj, eye)
+        Dt = solve_unrolled(eye + Jj @ Ci, eye)
         A = Aj @ D @ Ai
         C = Aj @ D @ Ci @ Aj.T + Cj
         b = Aj @ D @ (bi - Ci @ etaj) + bj
@@ -223,9 +248,11 @@ def tvlqr_backward_assoc(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn):
     suffix = jax.tree_util.tree_map(flip, suffix_flipped)
 
     def apply_elem(A, b, C, eta, J):
-        M = jnp.linalg.solve(eye + Vn @ C, jnp.stack([vn + Vn @ b], axis=-1))
-        Mv = M[:, 0]
-        W = jnp.linalg.solve(eye + Vn @ C, Vn)
+        WM = solve_unrolled(
+            eye + Vn @ C,
+            jnp.concatenate([Vn, (vn + Vn @ b)[:, None]], axis=1),
+        )
+        W, Mv = WM[:, :ds], WM[:, ds]
         return J + A.T @ W @ A, eta + A.T @ Mv
 
     V_all, v_all = jax.vmap(apply_elem)(*suffix)       # t = 0..H-1
