@@ -216,21 +216,42 @@ def halfcheetah_dynamics(x, u, n_frames=_SUBSTEPS):
 
 class HalfcheetahCost(Cost):
     """``200 - R`` with the gym running reward: per step,
-    ``-0.1 ||u||^2 + (x_{t+1} - x_t) / dt`` (halfcheetah.py:213-228)."""
+    ``-0.1 ||u||^2 + (x_{t+1} - x_t) / dt`` (halfcheetah.py:213-228).
 
-    def __init__(self, system, dt=0.05):
+    The running reward telescopes — ``sum_t (x_{t+1,0} - x_{t,0})/dt =
+    (x_{T,0} - x_{0,0})/dt`` — so the metric also has an exact
+    stage/terminal decomposition: zero obs stage cost, ``0.1 ||u||^2``
+    control stage cost, and terminal ``200 - (x_T[0] - init_x)/dt``.
+    That form makes the cost usable by sampling/gradient controllers
+    (MPPI optimizes the true metric directly) and by the tuning
+    fan-outs, which evaluate trajectory cost as
+    ``sum eval_obs + sum eval_ctrl + eval_term``.
+    """
+
+    def __init__(self, system, dt=0.05, init_x=0.0):
         super().__init__(system)
         self._dt = dt
+        self._init_x = float(init_x)
         self._is_quad = False
         self._is_convex = False
-        self._is_diff = False
-        self._is_twice_diff = False
+        self._is_diff = True
+        self._is_twice_diff = True
         self._has_goal = False
 
     def __call__(self, traj):
         ctrl_r = -0.1 * jnp.sum(traj.ctrls[:-1] ** 2)
         run_r = jnp.sum(traj.obs[1:, 0] - traj.obs[:-1, 0]) / self._dt
         return 200.0 - (ctrl_r + run_r)
+
+    # -- telescoped stage/terminal decomposition -----------------------
+    def eval_obs_cost(self, obs):
+        return jnp.zeros(())
+
+    def eval_ctrl_cost(self, ctrl):
+        return 0.1 * ctrl @ ctrl
+
+    def eval_term_obs_cost(self, obs):
+        return 200.0 - (obs[0] - self._init_x) / self._dt
 
 
 class HalfcheetahBenchmark(Benchmark):
@@ -253,6 +274,20 @@ class HalfcheetahBenchmark(Benchmark):
 
     def dynamics(self, x, u):
         return halfcheetah_dynamics(jnp.asarray(x), jnp.asarray(u))
+
+    def get_cached_tune_result(self):
+        """Load the shipped tune-result asset (the halfcheetah analog of
+        the reference's cached cartpole tune, cartpole_v2.py:146-153;
+        generated by tools/gen_cached_tunes.py halfcheetah)."""
+        import os
+
+        from ..utils.checkpoint import load_checkpoint
+
+        path = os.path.join(
+            os.path.dirname(__file__),
+            "../../assets/cached_tunes/halfcheetah_tune_result.ckpt",
+        )
+        return load_checkpoint(path)
 
     def _gen_trajs(self, n_trajs, traj_len, rng):
         init = np.asarray(self.task.get_init_obs())

@@ -100,3 +100,52 @@ class TestBenchmark:
         errs = np.abs(np.asarray(preds) - np.asarray(holdout.obs[1:]))
         deltas = np.abs(np.diff(np.asarray(holdout.obs), axis=0))
         assert errs.mean() < 0.8 * deltas.mean()
+
+
+class TestHalfcheetahCostDecomposition:
+    def test_stage_terminal_form_matches_call(self):
+        """The telescoped stage/terminal decomposition equals the
+        running-reward __call__ exactly on arbitrary trajectories
+        starting at init_x."""
+        import jax.numpy as jnp
+
+        from autompc_tpu.benchmarks.halfcheetah import (
+            HalfcheetahBenchmark,
+            HalfcheetahCost,
+        )
+        from autompc_tpu.core.trajectory import Trajectory
+
+        b = HalfcheetahBenchmark()
+        cost = HalfcheetahCost(b.system, dt=0.05, init_x=0.3)
+        rng = np.random.default_rng(3)
+        T = 17
+        obs = rng.normal(size=(T, 18))
+        obs[0, 0] = 0.3  # rollouts start at init_x
+        ctrls = rng.uniform(-1, 1, (T, 6))
+        ctrls[-1] = 0.0  # trajectory convention: last ctrl row zero
+        traj = Trajectory(b.system, T, jnp.asarray(obs), jnp.asarray(ctrls))
+
+        direct = float(cost(traj))
+        stage = sum(float(cost.eval_obs_cost(o)) for o in traj.obs)
+        stage += sum(float(cost.eval_ctrl_cost(u)) for u in traj.ctrls)
+        term = float(cost.eval_term_obs_cost(traj.obs[-1]))
+        assert stage + term == pytest.approx(direct, rel=1e-9)
+
+    def test_cost_is_diff(self):
+        """The decomposition is differentiable (controllers can use
+        jax.grad through it) and flags say so."""
+        import jax
+        import jax.numpy as jnp
+
+        from autompc_tpu.benchmarks.halfcheetah import (
+            HalfcheetahBenchmark,
+            HalfcheetahCost,
+        )
+
+        b = HalfcheetahBenchmark()
+        cost = HalfcheetahCost(b.system)
+        assert cost.is_diff and cost.is_twice_diff and not cost.is_quad
+        g = jax.grad(cost.eval_term_obs_cost)(jnp.ones(18))
+        assert float(g[0]) == pytest.approx(-1.0 / 0.05)
+        g2 = jax.grad(cost.eval_ctrl_cost)(jnp.ones(6))
+        np.testing.assert_allclose(np.asarray(g2), 0.2)
