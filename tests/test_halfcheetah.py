@@ -149,3 +149,19 @@ class TestHalfcheetahCostDecomposition:
         assert float(g[0]) == pytest.approx(-1.0 / 0.05)
         g2 = jax.grad(cost.eval_ctrl_cost)(jnp.ones(6))
         np.testing.assert_allclose(np.asarray(g2), 0.2)
+
+
+def test_cached_tune_result_loads():
+    """The shipped halfcheetah cached-tune asset loads and carries a
+    below-saturation incumbent (cartpole_v2.py:146-153 analog)."""
+    from autompc_tpu.benchmarks import HalfcheetahBenchmark
+
+    b = HalfcheetahBenchmark()
+    res = b.get_cached_tune_result()
+    assert res["kind"] == "pipeline_tune_result"
+    assert len(res["costs"]) == len(res["cfg_dicts"]) == 32
+    assert res["inc_costs"][-1] == min(res["costs"])
+    # saturation of the 200-R metric is 200 (standing still); the
+    # incumbent must do better
+    assert res["inc_costs"][-1] < 200.0
+    assert any(k.startswith("_cost:") for k in res["inc_cfg"])
