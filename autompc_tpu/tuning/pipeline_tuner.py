@@ -356,6 +356,15 @@ class PipelineTuner:
 
         fanout_kind = self._fanout_kind(pipeline, surrogate)
         fanouts = {}
+        fanouts_true = {}
+        oracle = None
+        if fanout_kind is not None and truedyn is not None:
+            # True-dynamics reporting rides the same sharded fan-out:
+            # the traceable ground-truth dynamics act as a perfect
+            # "surrogate" through the FunctionModel oracle wrapper.
+            from ..sysid.dummy import FunctionModel
+
+            oracle = FunctionModel(pipeline.system, truedyn)
         remaining = int(n_iters) - len(costs)
         while remaining > 0:
             batch = bo.ask(min(self.eval_batch, remaining))
@@ -363,8 +372,19 @@ class PipelineTuner:
                 batch_costs = self._eval_batch_fanout(
                     pipeline, task, surrogate, batch, fanouts, fanout_kind
                 )
-                for c in batch_costs:
-                    infos.append({"surr_cost": c, "surr_traj": None})
+                if oracle is not None:
+                    true_costs = self._eval_batch_fanout(
+                        pipeline, task, oracle, batch, fanouts_true,
+                        fanout_kind,
+                    )
+                    for c, tc in zip(batch_costs, true_costs):
+                        infos.append({
+                            "surr_cost": c, "surr_traj": None,
+                            "truedyn_cost": tc, "truedyn_traj": None,
+                        })
+                else:
+                    for c in batch_costs:
+                        infos.append({"surr_cost": c, "surr_traj": None})
             else:
                 batch_costs = []
                 for cfg in batch:

@@ -279,3 +279,44 @@ class TestPipelineTunerFanout:
                 )
             else:
                 assert np.isinf(cs) == np.isinf(cf)
+
+    def test_fanout_truedyn_reporting_matches_sequential(self, benchmark,
+                                                         trajs):
+        """With truedyn given, the fan-out path reports per-candidate
+        true-dynamics costs (through the FunctionModel oracle fan-out)
+        matching the sequential objective's."""
+        model = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        model.train(trajs)
+        pipeline = Pipeline(
+            benchmark.system,
+            model,
+            QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+            IterativeLQRFactory(benchmark.system),
+        )
+        task = benchmark.task.copy()
+        task.set_num_steps(30)
+
+        seq = PipelineTuner(surrogate_mode="pretrain", eval_batch=3)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=3, use_fanout=True
+        )
+        _, res_seq = seq.run(
+            pipeline, task, trajs, n_iters=3,
+            rng=np.random.default_rng(6), surrogate=model,
+            truedyn=benchmark.dynamics,
+        )
+        _, res_fan = fan.run(
+            pipeline, task, trajs, n_iters=3,
+            rng=np.random.default_rng(6), surrogate=model,
+            truedyn=benchmark.dynamics,
+        )
+        assert len(res_fan.truedyn_costs) == 3
+        for cs, cf in zip(res_seq.truedyn_costs, res_fan.truedyn_costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=1e-5, abs=1e-5)
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
