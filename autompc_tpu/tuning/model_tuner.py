@@ -51,6 +51,7 @@ class ModelTuner:
         self._arx_bucket = None
         self._mlp_buckets = {}
         self._sindy_buckets = {}
+        self._koopman_buckets = {}
         self.model_factories = []
 
     def add_model_factory(self, model_factory, cs=None):
@@ -236,15 +237,59 @@ class ModelTuner:
             for (i, _), v in zip(items, vals):
                 costs[i] = v
 
+    def _eval_koopman_bucket(self, cfgs, idxs, costs):
+        """Koopman lasso candidates sharing a lifting configuration vmap
+        over their alphas; lstsq/stable candidates stay per-config
+        (``costs`` left None falls through)."""
+        from .bucketed import KoopmanLassoBucketEvaluator
+
+        over = self._factory_overrides("Koopman")
+
+        def cv(cfg, name, default):
+            if name in over:
+                return over[name]
+            return cfg.get(f"_Koopman:{name}", default)
+
+        groups = {}
+        for i in idxs:
+            cfg = cfgs[i]
+            if str(cv(cfg, "method", "lstsq")) != "lasso":
+                continue
+            bucket_cfg = dict(
+                poly_basis=cv(cfg, "poly_basis", "false"),
+                poly_degree=int(cv(cfg, "poly_degree", 3)),
+                trig_basis=cv(cfg, "trig_basis", "false"),
+                trig_freq=int(cv(cfg, "trig_freq", 1)),
+                product_terms=cv(cfg, "product_terms", "false"),
+            )
+            alpha = float(cv(cfg, "lasso_alpha", 1.0))
+            key = tuple(sorted(bucket_cfg.items()))
+            groups.setdefault(key, (bucket_cfg, []))[1].append((i, alpha))
+
+        for key, (bucket_cfg, items) in groups.items():
+            bkey = ("Koopman", key)
+            if bkey not in self._koopman_buckets:
+                self._koopman_buckets[bkey] = KoopmanLassoBucketEvaluator(
+                    self.system,
+                    self.evaluator.training_set,
+                    self.evaluator.holdout,
+                    bucket_cfg,
+                    horizon=self.evaluator.horizon,
+                )
+            vals = self._koopman_buckets[bkey]([a for _, a in items])
+            for (i, _), v in zip(items, vals):
+                costs[i] = v
+
     def _evaluate_batch(self, cfgs):
-        """Evaluate a batch: ARX/MLP/SINDy candidates go through the
-        bucketed batch programs, everything else through the per-config
-        path."""
+        """Evaluate a batch: ARX/MLP/SINDy/Koopman-lasso candidates go
+        through the bucketed batch programs, everything else through the
+        per-config path."""
         costs = [None] * len(cfgs)
         for name, runner in (
             ("ARX", self._eval_arx_bucket),
             ("MLP", self._eval_mlp_bucket),
             ("SINDy", self._eval_sindy_bucket),
+            ("Koopman", self._eval_koopman_bucket),
         ):
             if not self._bucket_ready(name):
                 continue

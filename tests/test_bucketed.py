@@ -232,3 +232,64 @@ class TestModelTunerMixedBucketedPath:
                 )
             else:
                 assert np.isinf(cs) == np.isinf(cf)
+
+
+class TestKoopmanLassoBucketEvaluator:
+    def test_matches_per_config_training(self, data):
+        from autompc_tpu.evaluation import get_model_rmse
+        from autompc_tpu.sysid import Koopman
+        from autompc_tpu.tuning.bucketed import KoopmanLassoBucketEvaluator
+
+        b, trajs = data
+        training, holdout = trajs[:24], trajs[24:]
+        bucket_cfg = dict(
+            poly_basis="false", poly_degree=3,
+            trig_basis="true", trig_freq=1, product_terms="false",
+        )
+        bucket = KoopmanLassoBucketEvaluator(
+            b.system, training, holdout, bucket_cfg, horizon=2
+        )
+        alphas = [1e-6, 1e-3]
+        got = bucket(alphas)
+        for alpha, batched in zip(alphas, got):
+            model = Koopman(
+                b.system, method="lasso", lasso_alpha=alpha, **bucket_cfg
+            )
+            model.train(training)
+            expected = get_model_rmse(model, holdout, horizon=2)
+            if np.isfinite(expected):
+                assert batched == pytest.approx(expected, rel=1e-5), alpha
+            else:
+                assert not np.isfinite(batched)
+
+    def test_tuner_routes_only_lasso(self, data):
+        """Koopman lstsq/stable candidates stay on the per-config path;
+        tuner costs match the sequential run regardless."""
+        from autompc_tpu.sysid import KoopmanFactory
+
+        b, trajs = data
+
+        def run(use_bucketed):
+            rng = np.random.default_rng(31)
+            evaluator = HoldoutModelEvaluator(
+                system=b.system, trajs=trajs, metric="rmse", rng=rng,
+                holdout_prop=0.25,
+            )
+            tuner = ModelTuner(
+                b.system, evaluator, eval_batch=4,
+                use_bucketed=use_bucketed,
+            )
+            tuner.add_model_factory(KoopmanFactory(b.system))
+            _, result = tuner.run(rng, n_iters=4)
+            return result
+
+        res_seq = run(False)
+        res_fast = run(True)
+        assert [c.get_dictionary() for c in res_seq.cfgs] == [
+            c.get_dictionary() for c in res_fast.cfgs
+        ]
+        for cs, cf in zip(res_seq.costs, res_fast.costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=1e-4)
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
