@@ -113,6 +113,41 @@ def main():
         }
     )
 
+    # --- halfcheetah-scale MPPI (18 obs / 6 ctrl, MLP model, the
+    # true telescoped 200-R cost) ------------------------------------
+    from autompc_tpu.benchmarks import HalfcheetahBenchmark
+    from autompc_tpu.sysid import MLP
+
+    hc = HalfcheetahBenchmark()
+    hc_trajs = hc.gen_trajs_batch(seed=0, n_trajs=24, traj_len=40)
+    hc_model = MLP(hc.system, n_hidden_layers=2, hidden_size=64,
+                   n_train_iters=10, n_batch=64)
+    hc_model.train(hc_trajs)
+    hc_paths = int(os.environ.get("BENCH_HC_PATHS", "4096"))
+    hc_mppi = MPPI(
+        hc.system, hc.task, hc_model, horizon=20, num_path=hc_paths,
+        sigma=0.5, lmda=0.5,
+    )
+    hc_obs = jnp.asarray(hc.task.get_init_obs())
+    hc_seed = traj_zeros(hc.system, 1)
+    cstate = hc_mppi.traj_to_state(hc_seed)
+    u, cstate = hc_mppi.run(cstate, hc_obs)
+    jax.block_until_ready(u)
+    start = time.perf_counter()
+    for _ in range(20):
+        u, cstate = hc_mppi.run(cstate, hc_obs)
+        jax.block_until_ready(u)
+    lat = (time.perf_counter() - start) / 20
+    results.append(
+        {
+            "metric": "halfcheetah_mppi_control_step_latency_ms",
+            "num_path": hc_paths,
+            "value": round(lat * 1e3, 3),
+            "unit": "ms",
+            "within_dt_budget": lat < hc.system.dt,
+        }
+    )
+
     for r in results:
         print(json.dumps(r))
 
