@@ -59,7 +59,9 @@ def main():
 
     H = 200
     bounds = benchmark.task.get_ctrl_bounds()
-    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    # Throughput saturates with batch: 4585 solves/s at B=4096, 4954 at
+    # 8192, 5002 at 16384 (v5e, pallas backward + line-search kernels).
+    B = int(os.environ.get("BENCH_BATCH", "16384"))
     backward = os.environ.get("BENCH_BACKWARD", "pallas")
     if backward == "vmap":
         solve = make_ilqr_solver(

@@ -185,3 +185,29 @@ def test_batched_assoc_backward_matches_scan(setup):
     np.testing.assert_allclose(
         np.asarray(out_s[2]), np.asarray(out_a[2]), atol=1e-6
     )
+
+
+def test_fused_ls_matches_scan_ls(setup):
+    """Batched solver with the fused line-search kernel (objective +
+    acceptance in VMEM) matches the plain solve when the kernel lowers
+    (TPU; skipped where Pallas can't lower compiled)."""
+    b, model, cost, common = setup
+    plain = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan", **common
+    )
+    fused = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan",
+        feature_spec=(model.library, "coeffs"), fuse_ls=True, **common
+    )
+    rng = np.random.default_rng(5)
+    B = 4
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 4)))
+    ug = jnp.zeros((B, common["H"], 1))
+    out_plain = jax.jit(plain)(model.params, x0s, ug)
+    try:
+        out_f = jax.jit(fused)(model.params, x0s, ug)
+    except Exception:
+        pytest.skip("pallas lowering unavailable on this backend")
+    np.testing.assert_allclose(
+        np.asarray(out_f[2]), np.asarray(out_plain[2]), atol=1e-5
+    )
