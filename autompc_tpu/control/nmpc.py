@@ -62,8 +62,13 @@ def make_sqp_solver(
     ls_max_iter: int = 8,
     merit_mu: float = 100.0,
     reg: float = 1e-7,
+    backward: str = "scan",
 ):
     """Build ``solve(params, x0, xs_guess, us_guess) -> (xs, us)``.
+
+    ``backward``: "scan" (sequential KKT factorization) or "assoc"
+    (O(log H)-depth associative-scan Riccati with defects,
+    ops/trajqp.py:qp_backward_assoc — the long-horizon option).
 
     Objective semantics mirror NonLinearMPCProblem.get_cost
     (nmpc.py:73-83): ``dt * sum_{i=0..H} obs_cost(x_i) + dt *
@@ -123,9 +128,16 @@ def make_sqp_solver(
         Vf = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(th + sh * dt)
         vf = jnp.zeros(ds).at[:obsdim].set(tg + sg * dt)
 
-        Ks, ks, _, _ = qp_backward(
-            A_seq, B_seq, Cxx, Cuu, Cux, cx, cu, d_seq, Vf, vf, reg
-        )
+        if backward == "assoc":
+            from ..ops.trajqp import qp_backward_assoc
+
+            Ks, ks, _, _ = qp_backward_assoc(
+                A_seq, B_seq, Cxx, Cuu, Cux, cx, cu, d_seq, Vf, vf, reg
+            )
+        else:
+            Ks, ks, _, _ = qp_backward(
+                A_seq, B_seq, Cxx, Cuu, Cux, cx, cu, d_seq, Vf, vf, reg
+            )
 
         merit0 = merit(params, xs, us)
 

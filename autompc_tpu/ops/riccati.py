@@ -174,11 +174,19 @@ def solve_unrolled(A, B):
     return M[:, n:]
 
 
-def tvlqr_backward_assoc(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn):
+def tvlqr_backward_assoc(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn,
+                         d_seq=None, reg=0.0):
     """Parallel-in-time TVLQR backward pass: O(log H) depth via
     ``lax.associative_scan`` (sequence-dimension parallelism over the
     MPC horizon; SURVEY §5 "long-context" mapping, cf. PAPERS.md
     "The Parallelization of Riccati Recursion").
+
+    ``d_seq``/``reg`` extend the recursion to the multiple-shooting
+    trajectory-QP form with dynamics defects and Levenberg
+    regularization (ops/trajqp.py:qp_backward with Cux = 0): defects
+    enter the value linear term as ``v_eff = v + V d``, which in the
+    element algebra just shifts the affine part to
+    ``b = d - Ju (Cuu + reg)^{-1} cu``.
 
     The value recursion of ``tvlqr_backward_scan`` is, in closed form,
 
@@ -206,17 +214,21 @@ def tvlqr_backward_assoc(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn):
     """
     H, ds, dc = Jacs_u.shape
     eye = jnp.eye(ds, dtype=Vn.dtype)
+    eye_u = jnp.eye(dc, dtype=Vn.dtype)
+    if d_seq is None:
+        d_seq = jnp.zeros((H, ds), dtype=Vn.dtype)
 
-    # Per-step elements. Note sign convention: the scratch map uses
-    # (v + V b) with b = -Ju Cuu^{-1} cu.
-    def element(Jx, Ju, Q, R, q, r):
-        RiJu = solve_small(R, Ju.T)           # (dc, ds) = Cuu^{-1} Ju'
+    # Per-step elements. Note sign convention: the value map uses
+    # (v + V b) with b = d - Ju (Cuu + reg)^{-1} cu.
+    def element(Jx, Ju, Q, R, q, r, d):
+        Rt = R + reg * eye_u
+        RiJu = solve_small(Rt, Ju.T)          # (dc, ds) = Rt^{-1} Ju'
         C = Ju @ RiJu                          # (ds, ds)
-        b = -Ju @ solve_small(R, r)            # (ds,)
+        b = d - Ju @ solve_small(Rt, r)        # (ds,)
         return Jx, b, C, q, Q
 
     A_e, b_e, C_e, eta_e, J_e = jax.vmap(element)(
-        Jacs_x, Jacs_u, Cxx, Cuu, cx, cu
+        Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, d_seq
     )
 
     def combine(earlier, later):
@@ -259,17 +271,18 @@ def tvlqr_backward_assoc(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn):
     V_next = jnp.concatenate([V_all[1:], Vn[None]], axis=0)
     v_next = jnp.concatenate([v_all[1:], vn[None]], axis=0)
 
-    def gains(Jx, Ju, R, r, V, v):
+    def gains(Jx, Ju, R, r, d, V, v):
+        v_eff = v + V @ d
         JuV = Ju.T @ V
-        Quu = R + JuV @ Ju
+        Quu = R + reg * eye_u + JuV @ Ju
         Qux = JuV @ Jx
-        qu = r + Ju.T @ v
+        qu = r + Ju.T @ v_eff
         K = -solve_small(Quu, Qux)
         k = -solve_small(Quu, qu)
         return K, k, qu @ k, k @ Quu @ k
 
     Ks, ks, lin_t, quad_t = jax.vmap(gains)(
-        Jacs_x, Jacs_u, Cuu, cu, V_next, v_next
+        Jacs_x, Jacs_u, Cuu, cu, d_seq, V_next, v_next
     )
     return Ks, ks, jnp.sum(lin_t), jnp.sum(quad_t)
 

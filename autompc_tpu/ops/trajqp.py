@@ -71,6 +71,24 @@ def qp_backward(A_seq, B_seq, Cxx, Cuu, Cux, cx, cu, d_seq, Vf, vf, reg=1e-8):
     return Ks, ks, dV1, dV2
 
 
+def qp_backward_assoc(A_seq, B_seq, Cxx, Cuu, Cux, cx, cu, d_seq, Vf, vf,
+                      reg=1e-8):
+    """Parallel-in-time (O(log H) depth) variant of ``qp_backward`` via
+    the associative-scan Riccati — the multiple-shooting trajectory-QP
+    factorization with defects is the same element algebra with the
+    affine part shifted by the defect
+    (ops/riccati.py:tvlqr_backward_assoc). Requires Cux = 0 (always
+    true for the separable objectives make_sqp_solver builds,
+    control/nmpc.py:117-118); matches ``qp_backward`` up to its
+    per-step symmetrization (fp-level)."""
+    del Cux  # zero by construction; the element algebra assumes it
+    from .riccati import tvlqr_backward_assoc
+
+    return tvlqr_backward_assoc(
+        A_seq, B_seq, Cxx, Cuu, cx, cu, Vf, vf, d_seq=d_seq, reg=reg
+    )
+
+
 def qp_forward(A_seq, B_seq, d_seq, Ks, ks, alpha=1.0, dx0=None):
     """Forward recovery of the QP step: du_t = alpha k_t + K_t dx_t,
     dx_{t+1} = A dx + B du + alpha d_t. Returns (dxs[(H+1),ds], dus[H,dc])."""

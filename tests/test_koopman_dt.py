@@ -319,3 +319,77 @@ class TestDirectTranscription:
         assert cfg["horizon"] == 10
         con = factory(cfg, task, model)
         assert con.horizon == 200  # 10 s / 0.05
+
+
+class TestQPBackwardAssoc:
+    @pytest.mark.parametrize("H,ds,dc", [(8, 3, 1), (21, 4, 2)])
+    def test_matches_sequential_kkt(self, H, ds, dc):
+        """Associative-scan trajectory-QP factorization (with defects +
+        regularization) equals the sequential Riccati-with-defects."""
+        from autompc_tpu.ops.trajqp import qp_backward, qp_backward_assoc
+
+        rng = np.random.default_rng(H + ds)
+        A_seq = jnp.asarray(rng.normal(size=(H, ds, ds)) * 0.3 + np.eye(ds))
+        B_seq = jnp.asarray(rng.normal(size=(H, ds, dc)) * 0.4)
+        Cxx = jnp.asarray(
+            np.stack([np.diag(rng.uniform(0.1, 2.0, ds)) for _ in range(H)])
+        )
+        Cuu = jnp.asarray(
+            np.stack([np.diag(rng.uniform(0.05, 1.0, dc)) for _ in range(H)])
+        )
+        Cux = jnp.zeros((H, dc, ds))
+        cx = jnp.asarray(rng.normal(size=(H, ds)))
+        cu = jnp.asarray(rng.normal(size=(H, dc)))
+        d_seq = jnp.asarray(rng.normal(size=(H, ds)) * 0.2)
+        Vf = jnp.asarray(np.diag(rng.uniform(0.5, 3.0, ds)))
+        vf = jnp.asarray(rng.normal(size=ds))
+
+        Ks_s, ks_s, l_s, q_s = qp_backward(
+            A_seq, B_seq, Cxx, Cuu, Cux, cx, cu, d_seq, Vf, vf, reg=1e-6
+        )
+        Ks_a, ks_a, l_a, q_a = qp_backward_assoc(
+            A_seq, B_seq, Cxx, Cuu, Cux, cx, cu, d_seq, Vf, vf, reg=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(Ks_a), np.asarray(Ks_s),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ks_a), np.asarray(ks_s),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(float(l_a), float(l_s), rtol=1e-7)
+        np.testing.assert_allclose(float(q_a), float(q_s), rtol=1e-7)
+
+    def test_sqp_solver_assoc_backward_end_to_end(self):
+        """make_sqp_solver(backward='assoc') reproduces the scan-KKT
+        SQP solve on the cartpole DT problem."""
+        from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
+        from autompc_tpu.control.nmpc import make_sqp_solver
+        from autompc_tpu.costs import QuadCost
+        from autompc_tpu.sysid import SINDy
+
+        b = CartpoleSwingupBenchmark()
+        trajs = b.gen_trajs_batch(seed=42, n_trajs=30, traj_len=50)
+        model = SINDy(b.system, method="lstsq", threshold=1e-3,
+                      trig_basis=True, trig_freq=1, trig_interaction=True,
+                      time_mode="discrete")
+        model.train(trajs)
+        cost = QuadCost(
+            b.system, jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01])),
+            0.001 * jnp.eye(1), goal=jnp.zeros(4),
+        )
+        bounds = b.task.get_ctrl_bounds()
+        common = dict(
+            H=12, ds=4, dc=1, obsdim=4, dt=b.system.dt,
+            ubounds=(bounds[:, 0], bounds[:, 1]), sqp_iters=5,
+        )
+        solve_s = jax.jit(make_sqp_solver(model.pred_core, cost, **common))
+        solve_a = jax.jit(make_sqp_solver(
+            model.pred_core, cost, backward="assoc", **common
+        ))
+        x0 = jnp.array([0.6, 0.0, 0.0, 0.0])
+        xs_g = jnp.zeros((13, 4))
+        us_g = jnp.zeros((12, 1))
+        xs_s, us_s = solve_s(model.params, x0, xs_g, us_g)
+        xs_a, us_a = solve_a(model.params, x0, xs_g, us_g)
+        np.testing.assert_allclose(np.asarray(us_a), np.asarray(us_s),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(xs_a), np.asarray(xs_s),
+                                   rtol=1e-6, atol=1e-8)
