@@ -14,8 +14,11 @@ articulated-body simulator in jax**:
   ``jax.jacfwd`` (no hand-written recursive dynamics), so the whole
   step is one traced program that fuses into rollout scans and is
   exactly differentiable for `pred_diff`-style use.
-* Soft ground contacts (spring-damper normal force + smooth tanh
-  friction) at the feet and torso endpoints.
+* Soft ground contacts at the feet and torso endpoints, solved at the
+  velocity level: projected Gauss-Seidel on the friction-cone
+  complementarity problem over the Delassus operator, with MuJoCo-style
+  compliance (CFM) and Baumgarte push-out — inelastic Coulomb contacts
+  like the gym model's, not a penalty spring.
 * Semi-implicit Euler at dt=0.01 with 5 substeps per control step
   (frame-skip semantics of halfcheetah.py:28-43; env dt = 0.05).
 
@@ -61,9 +64,14 @@ _JNT_RANGE = jnp.array(
      [-1.0, 0.7], [-1.2, 0.87], [-0.5, 0.5]]
 )
 _GRAVITY = 9.81
-_GROUND_KP = 10000.0
-_GROUND_KD = 200.0
 _FRICTION_MU = 0.8
+# Velocity-level contact solve (MuJoCo-style soft constraint):
+_CONTACT_BETA = 0.2        # Baumgarte penetration push-out fraction/step
+_CONTACT_PUSH_MAX = 0.5    # cap on push-out velocity (m/s)
+_CONTACT_SOFT_N = 2e-3     # normal-constraint compliance (CFM)
+_CONTACT_SOFT_T = 1e-3     # tangential compliance
+_CONTACT_MARGIN = 1e-4     # activation distance (m)
+_PGS_SWEEPS = 8
 _SUBSTEPS = 25
 _SUB_DT = 0.002
 
@@ -141,17 +149,71 @@ def _potential(q):
     return _GRAVITY * jnp.sum(_MASSES * coms[:, 1])
 
 
-def _contact_force(q, qdot):
-    """Generalized soft-contact + friction forces."""
+def _contact_impulse(q, qdot_unc, A):
+    """Velocity-level soft-contact impulse solve (projected Gauss-Seidel
+    on the friction-cone complementarity problem), MuJoCo-style.
+
+    Given the unconstrained end-of-substep velocity ``qdot_unc`` and the
+    implicit-step effective mass ``A = M + dt D + dt^2 K``, finds contact
+    impulses ``lam`` (per contact: tangential, normal) such that
+
+        vn' = vn + (W lam)_n >= b_n   with  lam_n >= 0   (complementary)
+        |lam_t| <= mu lam_n,  driving vt' -> 0 (stick) else sliding at
+        the cone boundary,
+
+    where ``W = Jc A^-1 Jc'`` is the Delassus operator and ``b_n`` a
+    Baumgarte push-out velocity for existing penetration. The soft
+    (CFM) terms make the constraint compliant rather than rigid — the
+    velocity-impulse analog of MuJoCo's soft-constraint solver, which
+    the reference's oracle uses (gym half_cheetah via mujoco_py,
+    reference halfcheetah.py:187-202). Inelastic (zero restitution),
+    like the gym model. Branch-free (clips + masks), so the whole
+    dynamics stays exactly differentiable for pred_diff-style use.
+
+    Returns the generalized velocity correction ``A^-1 Jc' lam``.
+    """
     contacts = lambda qq: _body_frames(qq)[2]
-    pts = contacts(q)                                # (4, 2)
-    Jc = jax.jacfwd(contacts)(q)                     # (4, 2, 9)
-    vels = jnp.einsum("caj,j->ca", Jc, qdot)         # (4, 2)
+    pts = contacts(q)                                 # (4, 2)
+    Jc = jax.jacfwd(contacts)(q)                      # (4, 2, 9)
+    nC = pts.shape[0]
+    Jf = Jc.reshape(2 * nC, 9)                        # rows: (t, n) per contact
+    Minv_Jt = jnp.linalg.solve(A, Jf.T)               # (9, 2nC)
+    W = Jf @ Minv_Jt                                  # (2nC, 2nC)
+    v0 = Jf @ qdot_unc                                # (2nC,)
+
     pen = jnp.maximum(-pts[:, 1], 0.0)
-    fn = jnp.maximum(_GROUND_KP * pen - _GROUND_KD * vels[:, 1] * (pen > 0), 0.0)
-    ft = -_FRICTION_MU * fn * jnp.tanh(vels[:, 0] / 0.1)
-    f_world = jnp.stack([ft, fn], axis=1)            # (4, 2)
-    return jnp.einsum("caj,ca->j", Jc, f_world)
+    active = pts[:, 1] < _CONTACT_MARGIN              # (4,)
+    # Push-out target: recover a fraction of the penetration per substep
+    # (positive = upward separating velocity; vn' is driven to >= b_n).
+    b_n = jnp.minimum(
+        _CONTACT_BETA * pen / _SUB_DT, _CONTACT_PUSH_MAX
+    )
+
+    t_idx = jnp.arange(nC) * 2
+    n_idx = t_idx + 1
+    soft = jnp.zeros(2 * nC).at[t_idx].set(_CONTACT_SOFT_T)
+    soft = soft.at[n_idx].set(_CONTACT_SOFT_N)
+    diagW = jnp.diagonal(W) + soft / _SUB_DT
+
+    def sweep(_, lam):
+        # Normal then tangent per contact, full velocity coupling via W.
+        for i in range(nC):
+            ni, ti = 2 * i + 1, 2 * i
+            vn = v0[ni] + W[ni] @ lam
+            ln = lam[ni] - (vn - b_n[i] + soft[ni] / _SUB_DT * lam[ni]) / diagW[ni]
+            ln = jnp.maximum(ln, 0.0) * active[i]
+            lam = lam.at[ni].set(ln)
+            vt = v0[ti] + W[ti] @ lam
+            lt = lam[ti] - (vt + soft[ti] / _SUB_DT * lam[ti]) / diagW[ti]
+            lim = _FRICTION_MU * ln
+            lt = jnp.clip(lt, -lim, lim) * active[i]
+            lam = lam.at[ti].set(lt)
+        return lam
+
+    lam = jax.lax.fori_loop(
+        0, _PGS_SWEEPS, sweep, jnp.zeros(2 * nC), unroll=True
+    )
+    return Minv_Jt @ lam
 
 
 def _substep(q, qdot, u):
@@ -176,7 +238,6 @@ def _substep(q, qdot, u):
     c = Mdot @ qdot - quad
     g = jax.grad(_potential)(q)
     tau_act = jnp.concatenate([jnp.zeros(3), _GEARS * u])
-    f_con = _contact_force(q, qdot)
 
     # Joint spring/range forces at the current q plus implicit stiffness.
     qj = q[3:]
@@ -191,9 +252,10 @@ def _substep(q, qdot, u):
     K_full = jnp.concatenate([jnp.zeros(3), k_joint])
     D_full = jnp.concatenate([jnp.zeros(3), d_joint])
 
-    rhs = M @ qdot + _SUB_DT * (tau_act + f_con + tau_spring - c - g)
+    rhs = M @ qdot + _SUB_DT * (tau_act + tau_spring - c - g)
     A = M + _SUB_DT * jnp.diag(D_full) + _SUB_DT**2 * jnp.diag(K_full)
-    qdot_new = jnp.linalg.solve(A, rhs)
+    qdot_unc = jnp.linalg.solve(A, rhs)
+    qdot_new = qdot_unc + _contact_impulse(q, qdot_unc, A)
     # Clamp velocities for numerical robustness under wild random inputs.
     qdot_new = jnp.clip(qdot_new, -50.0, 50.0)
     q_new = q + _SUB_DT * qdot_new

@@ -24,8 +24,11 @@ shape.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ConfigurationSpace, UniformIntegerHyperparameter
 from ..ops.riccati import tvlqr_backward_scan
@@ -237,9 +240,16 @@ def make_batched_ilqr_solver(
     analytic_jac: bool = False,
     fuse_ls: bool = False,
     block_b: int = 128,
+    return_pieces: bool = False,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
     (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
+
+    ``return_pieces=True`` additionally returns the solver's building
+    blocks ``(solve, make_carry0, cond, make_body)`` — the outer
+    while_loop's init/cond/body — so callers can drive the iteration
+    themselves (the staged/compacting solver below re-dispatches
+    surviving lanes into smaller batch buckets between chunks).
 
     Functionally equivalent to ``jax.vmap(make_ilqr_solver(...))`` (the
     outer iteration is a single ``while_loop`` with per-lane activity
@@ -353,25 +363,30 @@ def make_batched_ilqr_solver(
 
         return jax.vmap(rollout)(alphas)
 
-    def solve(params, x0s, uguess):
+    def make_carry0(params, x0s, uguess):
         B = x0s.shape[0]
         xs0, Jx0, Ju0 = jax.vmap(lambda x, u: forward_one(params, x, u))(
             x0s, uguess
         )
         obj0 = jax.vmap(eval_obj_one)(xs0, uguess)
-        carry0 = dict(
+        return dict(
+            x0s=x0s,
             xs=xs0, us=uguess, Jx=Jx0, Ju=Ju0, obj=obj0,
             Ks=jnp.zeros((B, H, dc, ds)), ks=jnp.zeros((B, H, dc)),
             itr=jnp.array(0),
             converged=jnp.zeros(B, dtype=bool),
             failed=jnp.zeros(B, dtype=bool),
+            done_itr=jnp.zeros(B, dtype=jnp.int32),
         )
 
-        def cond(c):
-            active = ~c["converged"] & ~c["failed"]
-            return (c["itr"] < max_iter) & jnp.any(active)
+    def cond(c):
+        active = ~c["converged"] & ~c["failed"]
+        return (c["itr"] < max_iter) & jnp.any(active)
 
+    def make_body(params):
         def body(c):
+            x0s = c["x0s"]
+            B = x0s.shape[0]
             xs, us = c["xs"], c["us"]
             active = ~c["converged"] & ~c["failed"]
 
@@ -495,7 +510,9 @@ def make_batched_ilqr_solver(
                 fl = fail_mask.reshape((-1,) + extra)
                 return jnp.where(act & ~fl, new, old)
 
+            finished_now = active & (converged_now | failed_now)
             return dict(
+                x0s=x0s,
                 xs=upd(new_xs, xs, failed_now),
                 us=upd(new_us, us, failed_now),
                 Jx=upd(Jx_new, c["Jx"], failed_now),
@@ -506,9 +523,255 @@ def make_batched_ilqr_solver(
                 itr=c["itr"] + 1,
                 converged=c["converged"] | (converged_now & active),
                 failed=c["failed"] | (failed_now & active),
+                done_itr=jnp.where(
+                    finished_now,
+                    jnp.int32(c["itr"] + 1),
+                    c["done_itr"],
+                ),
             )
 
-        out = jax.lax.while_loop(cond, body, carry0)
+        return body
+
+    def solve(params, x0s, uguess):
+        carry0 = make_carry0(params, x0s, uguess)
+        out = jax.lax.while_loop(cond, make_body(params), carry0)
+        return out["converged"], out["xs"], out["us"], out["Ks"], out["ks"]
+
+    if return_pieces:
+        return solve, make_carry0, cond, make_body
+    return solve
+
+
+def make_staged_ilqr_solver(
+    pred_core,
+    cost,
+    H: int,
+    ds: int,
+    dc: int,
+    obsdim: int,
+    dt: float,
+    ubounds=None,
+    chunk_iters: int = 5,
+    min_bucket: int = 1024,
+    max_iter: int = 50,
+    **kwargs,
+):
+    """Batched iLQR with host-staged converged-lane compaction.
+
+    Same contract as ``make_batched_ilqr_solver`` — ``solve(params,
+    x0s (B,ds), uguess (B,H,dc)) -> (converged, xs, us, Ks, ks)`` with
+    per-lane results identical to the single while_loop version (lanes
+    are independent; compaction only changes which lanes share a
+    dispatch) — but instead of running every lane for as many
+    iterations as the *slowest* lane in the batch, the outer iteration
+    runs in jitted chunks of ``chunk_iters``; between chunks the host
+    reads the (tiny) finished mask, scatters finished lanes into the
+    output buffers, and gathers the survivors into the smallest
+    power-of-two bucket >= the survivor count (>= ``min_bucket``).
+    On swing-up workloads the convergence histogram is long-tailed
+    (median ~1/3 of the slowest lane), so the single-program batch
+    spends ~40% of its iteration-FLOPs on already-converged lanes;
+    compaction recovers most of that at the price of one compile per
+    bucket size (persistent-cached) and one ~B-byte host sync per
+    chunk.
+
+    Not itself jittable (host control flow) — this is a top-level
+    driver, the moral analog of the reference's per-config Python loop
+    (autompc/control/ilqr.py:160-248), except each chunk is a fused
+    device program over the surviving batch.
+    """
+    _, make_carry0, cond, make_body = make_batched_ilqr_solver(
+        pred_core, cost, H=H, ds=ds, dc=dc, obsdim=obsdim, dt=dt,
+        ubounds=ubounds, max_iter=max_iter, return_pieces=True, **kwargs,
+    )
+
+    @partial(jax.jit, static_argnums=2)
+    def run_chunk(params, carry, n):
+        body = make_body(params)
+
+        def cond2(cl):
+            c, l = cl
+            return cond(c) & (l < n)
+
+        def body2(cl):
+            c, l = cl
+            return body(c), l + 1
+
+        c, _ = jax.lax.while_loop(cond2, body2, (carry, jnp.array(0)))
+        return c
+
+    init = jax.jit(make_carry0)
+
+    def _bucket(n_active, cur):
+        # Smallest power of two >= n_active, clamped to [min_bucket, cur].
+        b = 1 << max(0, int(np.ceil(np.log2(max(1, n_active)))))
+        return min(cur, max(b, min_bucket))
+
+    def solve_staged(params, x0s, uguess):
+        B = x0s.shape[0]
+        carry = init(params, x0s, uguess)
+        idx = np.arange(B)  # original lane index per slot; -1 = padding
+        out = dict(
+            converged=jnp.zeros(B, dtype=bool),
+            xs=jnp.zeros((B, H + 1, ds)),
+            us=jnp.zeros((B, H, dc)),
+            Ks=jnp.zeros((B, H, dc, ds)),
+            ks=jnp.zeros((B, H, dc)),
+        )
+
+        def flush(local_slots):
+            gi = idx[local_slots]
+            for key in out:
+                out[key] = out[key].at[jnp.asarray(gi)].set(
+                    carry[key][jnp.asarray(local_slots)]
+                )
+
+        while True:
+            carry = run_chunk(params, carry, chunk_iters)
+            done = np.asarray(carry["converged"] | carry["failed"])
+            itr = int(carry["itr"])
+            real = idx >= 0
+            active = real & ~done
+            n_active = int(active.sum())
+            if n_active == 0 or itr >= max_iter:
+                flush(np.where(real)[0])
+                break
+            cur = len(idx)
+            nb = _bucket(n_active, cur)
+            if nb < cur:
+                flush(np.where(real & done)[0])
+                act_loc = np.where(active)[0]
+                # Pad with finished slots: inactive under the masks, so
+                # they do no work and produce no output (idx -1).
+                pad_loc = np.where(done)[0][: nb - n_active]
+                sel = np.concatenate([act_loc, pad_loc])
+                ncur = cur
+                carry = jax.tree_util.tree_map(
+                    lambda a: (
+                        a[jnp.asarray(sel)]
+                        if getattr(a, "ndim", 0) >= 1
+                        and a.shape[0] == ncur
+                        else a
+                    ),
+                    carry,
+                )
+                idx = np.concatenate(
+                    [idx[act_loc], np.full(nb - n_active, -1, dtype=int)]
+                )
+
+        return (
+            out["converged"], out["xs"], out["us"], out["Ks"], out["ks"]
+        )
+
+    return solve_staged
+
+
+def make_scheduled_ilqr_solver(
+    pred_core,
+    cost,
+    H: int,
+    ds: int,
+    dc: int,
+    obsdim: int,
+    dt: float,
+    ubounds=None,
+    schedule=((20, 0.5), (38, 0.25)),
+    max_iter: int = 50,
+    **kwargs,
+):
+    """Batched iLQR with **device-side** converged-lane compaction.
+
+    Same contract as ``make_batched_ilqr_solver`` and fully jittable —
+    one device program, zero host round-trips (unlike
+    ``make_staged_ilqr_solver``, whose per-chunk host syncs cost more
+    than they save when the accelerator sits behind a high-latency
+    link). The convergence histogram of the swing-up workload is
+    long-tailed (median lane ~15 of the slowest lane's ~50 iterations,
+    ~63%% of lane-iteration work wasted), so the solve follows a static
+    compaction ``schedule``: a list of ``(cut_iter, size_frac)``. At
+    each cut, lanes are stably sorted by their done flag (active lanes
+    first) and, **if** the active count fits, the front ``size_frac *
+    B`` lanes continue alone — the backward pass, line search, and
+    relinearization all shrink — and are scattered back at the end.
+    If the actives overflow the bucket (workload shifted), a
+    ``lax.cond`` falls back to finishing at the current size: the
+    schedule is a performance hint, never a correctness bound.
+
+    Per-lane trajectories are unchanged by compaction (lanes are
+    independent; on TPU, reductions may tile differently at different
+    batch shapes, so borderline convergence flags can differ by float
+    noise — same caveat as any batch-size change).
+
+    Default schedule from the measured cartpole-swing-up distribution
+    (done-fraction ~66%% by iteration 20, ~90%% by 38): expected cost
+    20 + 18/2 + 12/4 = 32 B-iterations vs 50 for the single-program
+    batch.
+    """
+    _, make_carry0, cond, make_body = make_batched_ilqr_solver(
+        pred_core, cost, H=H, ds=ds, dc=dc, obsdim=obsdim, dt=dt,
+        ubounds=ubounds, max_iter=max_iter, return_pieces=True, **kwargs,
+    )
+
+    def _gather(carry, idx, B_cur):
+        return jax.tree_util.tree_map(
+            lambda a: (
+                a[idx]
+                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == B_cur
+                else a
+            ),
+            carry,
+        )
+
+    def _scatter(full, front, idx, B_cur):
+        return jax.tree_util.tree_map(
+            lambda f, fr: (
+                f.at[idx].set(fr)
+                if getattr(f, "ndim", 0) >= 1 and f.shape[0] == B_cur
+                else fr  # scalars (itr): take the front's, it ran longest
+            ),
+            full,
+            front,
+        )
+
+    def solve(params, x0s, uguess):
+        B = x0s.shape[0]
+        body = make_body(params)
+
+        def run_until(carry, upto):
+            def cond2(c):
+                return cond(c) & (c["itr"] < upto)
+
+            return jax.lax.while_loop(cond2, body, carry)
+
+        def recurse(carry, sched):
+            B_cur = carry["converged"].shape[0]
+            if not sched:
+                return run_until(carry, max_iter)
+            cut, frac = sched[0]
+            B_next = max(1, int(round(B_cur * frac)))
+            if B_next >= B_cur:
+                return recurse(carry, sched[1:])
+            carry = run_until(carry, cut)
+            done = carry["converged"] | carry["failed"]
+            n_active = jnp.sum(~done)
+            perm = jnp.argsort(done, stable=True)
+            front_idx = perm[:B_next]
+
+            def compacted(carry):
+                front = _gather(carry, front_idx, B_cur)
+                front = recurse(front, sched[1:])
+                return _scatter(carry, front, front_idx, B_cur)
+
+            def overflow(carry):
+                # Actives don't fit the bucket: finish at this size.
+                return run_until(carry, max_iter)
+
+            return jax.lax.cond(
+                n_active <= B_next, compacted, overflow, carry
+            )
+
+        carry = make_carry0(params, x0s, uguess)
+        out = recurse(carry, tuple(schedule))
         return out["converged"], out["xs"], out["us"], out["Ks"], out["ks"]
 
     return solve

@@ -71,7 +71,10 @@ def main():
         )
         batch_solve = jax.jit(jax.vmap(solve, in_axes=(None, 0, 0)))
     else:
-        from autompc_tpu.control.ilqr import make_batched_ilqr_solver
+        from autompc_tpu.control.ilqr import (
+            make_batched_ilqr_solver,
+            make_scheduled_ilqr_solver,
+        )
 
         # BENCH_LS: "pallas" (rollout kernel, default), "fused"
         # (objective+acceptance inside the kernel too; a wash at this
@@ -81,17 +84,35 @@ def main():
             (model.library, "coeffs") if ls_mode in ("fused", "pallas")
             else None
         )
-        batch_solve = jax.jit(
-            make_batched_ilqr_solver(
-                model.pred_core, cost,
-                H=H, ds=4, dc=1, obsdim=4, dt=system.dt,
-                ubounds=(bounds[:, 0], bounds[:, 1]),
-                backward=backward,
-                feature_spec=feature_spec,
-                fuse_ls=(ls_mode == "fused"),
-                block_b=int(os.environ.get("BENCH_BLOCK", "128")),
-            )
+        solver_kw = dict(
+            H=H, ds=4, dc=1, obsdim=4, dt=system.dt,
+            ubounds=(bounds[:, 0], bounds[:, 1]),
+            backward=backward,
+            feature_spec=feature_spec,
+            fuse_ls=(ls_mode == "fused"),
+            block_b=int(os.environ.get("BENCH_BLOCK", "128")),
         )
+        # BENCH_SCHED: device-side converged-lane compaction (default):
+        # the convergence histogram is long-tailed (median lane ~15
+        # iters vs slowest ~50), so the solve shrinks the live batch at
+        # static cut points — measured 1.90x vs the single-program
+        # batch at B=4096 (8683 vs 4563 solves/s). "off" = plain batch.
+        if os.environ.get("BENCH_SCHED", "on") != "off":
+            # e.g. BENCH_SCHEDULE="20:0.5,38:0.25"
+            sched_env = os.environ.get("BENCH_SCHEDULE")
+            if sched_env:
+                schedule = tuple(
+                    (int(c.split(":")[0]), float(c.split(":")[1]))
+                    for c in sched_env.split(",")
+                )
+                solver_kw["schedule"] = schedule
+            batch_solve = jax.jit(
+                make_scheduled_ilqr_solver(model.pred_core, cost, **solver_kw)
+            )
+        else:
+            batch_solve = jax.jit(
+                make_batched_ilqr_solver(model.pred_core, cost, **solver_kw)
+            )
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(

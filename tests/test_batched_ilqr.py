@@ -211,3 +211,63 @@ def test_fused_ls_matches_scan_ls(setup):
     np.testing.assert_allclose(
         np.asarray(out_f[2]), np.asarray(out_plain[2]), atol=1e-5
     )
+
+
+def test_staged_compaction_matches_batched(setup):
+    """Staged solve with aggressive compaction (chunk=2, min_bucket=2)
+    is lane-for-lane identical to the single while_loop program."""
+    from autompc_tpu.control.ilqr import make_staged_ilqr_solver
+
+    b, model, cost, common = setup
+    batched = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan", **common
+    )
+    staged = make_staged_ilqr_solver(
+        model.pred_core, cost, backward="scan",
+        chunk_iters=2, min_bucket=2, **common
+    )
+    rng = np.random.default_rng(3)
+    B = 13  # odd size: exercises non-power-of-two -> bucket rounding
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 4)) * np.array([3.1, 1, 1, 1]))
+    ug = jnp.zeros((B, common["H"], 1))
+    out_b = jax.jit(batched)(model.params, x0s, ug)
+    out_s = staged(model.params, x0s, ug)
+    for a, v in zip(out_s, out_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(v), atol=1e-8
+        )
+
+
+def test_scheduled_compaction_matches_batched(setup):
+    """Device-side scheduled compaction (one jit, argsort + gather at
+    static cut points) is lane-for-lane identical to the single
+    while_loop program, on both the compacted and the overflow path."""
+    from autompc_tpu.control.ilqr import make_scheduled_ilqr_solver
+
+    b, model, cost, common = setup
+    batched = jax.jit(make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan", **common
+    ))
+    rng = np.random.default_rng(7)
+    B = 16
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 4)) * np.array([3.1, 1, 1, 1]))
+    ug = jnp.zeros((B, common["H"], 1))
+    out_b = batched(model.params, x0s, ug)
+
+    # Generous cuts: actives fit, compaction actually runs.
+    sched = jax.jit(make_scheduled_ilqr_solver(
+        model.pred_core, cost, backward="scan",
+        schedule=((6, 0.5), (8, 0.25)), **common
+    ))
+    # Impossible cut (12.5% bucket after 1 iteration): overflow path.
+    over = jax.jit(make_scheduled_ilqr_solver(
+        model.pred_core, cost, backward="scan",
+        schedule=((1, 0.125),), **common
+    ))
+    for solver in (sched, over):
+        out_s = solver(model.params, x0s, ug)
+        for a, v in zip(out_s, out_b):
+            np.testing.assert_allclose(
+                np.asarray(a).astype(float),
+                np.asarray(v).astype(float), atol=1e-8
+            )
