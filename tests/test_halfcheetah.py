@@ -165,3 +165,45 @@ def test_cached_tune_result_loads():
     # incumbent must do better
     assert res["inc_costs"][-1] < 200.0
     assert any(k.startswith("_cost:") for k in res["inc_cfg"])
+
+
+class TestContactSolve:
+    """Physics sanity of the velocity-level PGS contact solve
+    (_contact_impulse): complementarity, cone bound, stick/slide."""
+
+    def test_no_impulse_above_ground(self):
+        from autompc_tpu.benchmarks.halfcheetah import (
+            _contact_impulse, _mass_matrix,
+        )
+
+        q = jnp.zeros(9).at[1].set(2.0)  # torso 2 m up: all gaps open
+        qdot = jnp.zeros(9).at[1].set(-3.0)  # falling fast
+        A = _mass_matrix(q)
+        dv = _contact_impulse(q, qdot, A)
+        np.testing.assert_allclose(np.asarray(dv), 0.0, atol=1e-12)
+
+    def test_penetration_is_pushed_out(self, benchmark):
+        # Drop from standing: after settling, feet do not sink through.
+        from autompc_tpu.benchmarks.halfcheetah import _body_frames
+
+        x = jnp.asarray(benchmark.task.get_init_obs())
+        step = jax.jit(lambda x: halfcheetah_dynamics(x, jnp.zeros(6)))
+        for _ in range(120):
+            x = step(x)
+        pts = _body_frames(x[:9])[2]
+        # No contact point more than ~1 cm below ground (soft contact
+        # allows slight steady-state penetration, not sinking).
+        assert float(jnp.min(pts[:, 1])) > -0.01
+
+    def test_friction_resists_slide(self, benchmark):
+        # Settle, then push the whole body sideways: Coulomb friction
+        # must decelerate the slide (no frictionless drift).
+        x = jnp.asarray(benchmark.task.get_init_obs())
+        step = jax.jit(lambda x: halfcheetah_dynamics(x, jnp.zeros(6)))
+        for _ in range(80):
+            x = step(x)
+        x = x.at[9].set(1.5)  # 1.5 m/s horizontal root velocity
+        v0 = float(x[9])
+        for _ in range(10):
+            x = step(x)
+        assert float(x[9]) < 0.6 * v0
