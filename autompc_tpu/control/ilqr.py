@@ -241,6 +241,8 @@ def make_batched_ilqr_solver(
     fuse_ls: bool = False,
     block_b: int = 128,
     return_pieces: bool = False,
+    quad_cost_batch: bool = False,
+    quad_goal=None,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
     (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
@@ -250,6 +252,18 @@ def make_batched_ilqr_solver(
     while_loop's init/cond/body — so callers can drive the iteration
     themselves (the staged/compacting solver below re-dispatches
     surviving lanes into smaller batch buckets between chunks).
+
+    ``quad_cost_batch=True`` gives every lane its OWN diagonal
+    quadratic cost: the solve takes a fourth argument ``cost_params``
+    — a dict of per-lane diagonals ``Qdiag (B, obsdim)``, ``Rdiag
+    (B, dc)``, ``Fdiag (B, obsdim)`` (the QuadCostFactory search
+    space, costs/quad_cost_factory.py) with the shared ``quad_goal``.
+    This is what lets the tuning fan-out evaluate a whole candidate
+    batch in ONE solver program (large MXU tiles + converged-lane
+    compaction) instead of vmapping per-candidate solves; ``cost`` is
+    ignored and may be None (semantics are the QuadCost fast paths:
+    value ``(x-g)'Q(x-g)``, gradient ``2Q(x-g)``, hessian ``2Q``,
+    costs/cost.py:62-141). Incompatible with ``fuse_ls``.
 
     Functionally equivalent to ``jax.vmap(make_ilqr_solver(...))`` (the
     outer iteration is a single ``while_loop`` with per-lane activity
@@ -331,20 +345,72 @@ def make_batched_ilqr_solver(
         _, (xs1, Jx, Ju) = jax.lax.scan(step, x0, us, unroll=unroll)
         return jnp.concatenate([x0[None], xs1], axis=0), Jx, Ju
 
-    def eval_obj_one(xs, us):
-        oc = jnp.sum(jax.vmap(lambda x: cost.eval_obs_cost(x[:obsdim]))(xs[:H]))
-        cc = jnp.sum(jax.vmap(cost.eval_ctrl_cost)(us))
-        return dt * (oc + cc) + cost.eval_term_obs_cost(xs[H, :obsdim])
+    if quad_cost_batch:
+        if fuse_ls:
+            raise ValueError(
+                "fuse_ls reads one fixed cost's matrices inside the "
+                "kernel; incompatible with quad_cost_batch"
+            )
+        goal = (
+            jnp.zeros(obsdim) if quad_goal is None
+            else jnp.asarray(quad_goal)
+        )
 
-    def expansions_one(xs, us):
-        def one(x, u):
-            _, qx, Qh = cost.eval_obs_cost_hess(x[:obsdim])
-            _, ru, Rh = cost.eval_ctrl_cost_hess(u)
-            Cxx = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(Qh * dt)
-            cx = jnp.zeros(ds).at[:obsdim].set(qx * dt)
-            return Cxx, Rh * dt, cx, ru * dt
+        def eval_obj_one(xs, us, cp):
+            dx = xs[:H, :obsdim] - goal
+            oc = jnp.sum(dx * dx * cp["Qdiag"][None, :])
+            cc = jnp.sum(us * us * cp["Rdiag"][None, :])
+            dxt = xs[H, :obsdim] - goal
+            return dt * (oc + cc) + jnp.sum(dxt * dxt * cp["Fdiag"])
 
-        return jax.vmap(one)(xs[:H], us)
+        def expansions_one(xs, us, cp):
+            dx = xs[:H, :obsdim] - goal                     # (H, n)
+            cx = jnp.zeros((H, ds)).at[:, :obsdim].set(
+                2.0 * dx * cp["Qdiag"][None, :] * dt
+            )
+            oi = jnp.arange(obsdim)
+            Cxx = jnp.zeros((H, ds, ds)).at[:, oi, oi].set(
+                jnp.broadcast_to(2.0 * cp["Qdiag"] * dt, (H, obsdim))
+            )
+            ci = jnp.arange(dc)
+            Cuu = jnp.zeros((H, dc, dc)).at[:, ci, ci].set(
+                jnp.broadcast_to(2.0 * cp["Rdiag"] * dt, (H, dc))
+            )
+            cu = 2.0 * us * cp["Rdiag"][None, :] * dt
+            return Cxx, Cuu, cx, cu
+
+        def term_one(x, cp):
+            dxt = x[:obsdim] - goal
+            Vn = jnp.zeros((ds, ds)).at[
+                jnp.arange(obsdim), jnp.arange(obsdim)
+            ].set(2.0 * cp["Fdiag"])
+            vn = jnp.zeros(ds).at[:obsdim].set(2.0 * cp["Fdiag"] * dxt)
+            return Vn, vn
+
+    else:
+
+        def eval_obj_one(xs, us, cp=None):
+            oc = jnp.sum(
+                jax.vmap(lambda x: cost.eval_obs_cost(x[:obsdim]))(xs[:H])
+            )
+            cc = jnp.sum(jax.vmap(cost.eval_ctrl_cost)(us))
+            return dt * (oc + cc) + cost.eval_term_obs_cost(xs[H, :obsdim])
+
+        def expansions_one(xs, us, cp=None):
+            def one(x, u):
+                _, qx, Qh = cost.eval_obs_cost_hess(x[:obsdim])
+                _, ru, Rh = cost.eval_ctrl_cost_hess(u)
+                Cxx = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(Qh * dt)
+                cx = jnp.zeros(ds).at[:obsdim].set(qx * dt)
+                return Cxx, Rh * dt, cx, ru * dt
+
+            return jax.vmap(one)(xs[:H], us)
+
+        def term_one(x, cp=None):
+            _, tg, th = cost.eval_term_obs_cost_hess(x[:obsdim])
+            Vn = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(th)
+            vn = jnp.zeros(ds).at[:obsdim].set(tg)
+            return Vn, vn
 
     alphas = ls_discount ** jnp.arange(ls_max_iter)
 
@@ -363,14 +429,17 @@ def make_batched_ilqr_solver(
 
         return jax.vmap(rollout)(alphas)
 
-    def make_carry0(params, x0s, uguess):
+    def make_carry0(params, x0s, uguess, cost_params=None):
         B = x0s.shape[0]
+        cp = cost_params if quad_cost_batch else {}
+        if quad_cost_batch and cost_params is None:
+            raise ValueError("quad_cost_batch solve needs cost_params")
         xs0, Jx0, Ju0 = jax.vmap(lambda x, u: forward_one(params, x, u))(
             x0s, uguess
         )
-        obj0 = jax.vmap(eval_obj_one)(xs0, uguess)
+        obj0 = jax.vmap(eval_obj_one)(xs0, uguess, cp)
         return dict(
-            x0s=x0s,
+            x0s=x0s, cost=cp,
             xs=xs0, us=uguess, Jx=Jx0, Ju=Ju0, obj=obj0,
             Ks=jnp.zeros((B, H, dc, ds)), ks=jnp.zeros((B, H, dc)),
             itr=jnp.array(0),
@@ -388,16 +457,11 @@ def make_batched_ilqr_solver(
             x0s = c["x0s"]
             B = x0s.shape[0]
             xs, us = c["xs"], c["us"]
+            cp = c["cost"]
             active = ~c["converged"] & ~c["failed"]
 
-            def term_one(x):
-                _, tg, th = cost.eval_term_obs_cost_hess(x[:obsdim])
-                Vn = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(th)
-                vn = jnp.zeros(ds).at[:obsdim].set(tg)
-                return Vn, vn
-
-            Vn, vn = jax.vmap(term_one)(xs[:, H])
-            Cxx, Cuu, cx, cu = jax.vmap(expansions_one)(xs, us)
+            Vn, vn = jax.vmap(term_one)(xs[:, H], cp)
+            Cxx, Cuu, cx, cu = jax.vmap(expansions_one)(xs, us, cp)
             if use_pallas:
                 from ..ops.pallas_riccati import pallas_tvlqr_backward
 
@@ -460,7 +524,11 @@ def make_batched_ilqr_solver(
                             params, x0, xs_, us_, K_, k_
                         )
                     )(x0s, xs, us, Ks, ks)
-                new_objs = jax.vmap(jax.vmap(eval_obj_one))(ls_xs, ls_us)
+                new_objs = jax.vmap(
+                    lambda xs_l, us_l, cp1: jax.vmap(
+                        lambda a, b: eval_obj_one(a, b, cp1)
+                    )(xs_l, us_l)
+                )(ls_xs, ls_us, cp)
                 expect = alphas[None, :] * lin_red[:, None] + (
                     alphas[None, :] ** 2
                 ) * quad_red[:, None] / 2
@@ -512,7 +580,7 @@ def make_batched_ilqr_solver(
 
             finished_now = active & (converged_now | failed_now)
             return dict(
-                x0s=x0s,
+                x0s=x0s, cost=cp,
                 xs=upd(new_xs, xs, failed_now),
                 us=upd(new_us, us, failed_now),
                 Jx=upd(Jx_new, c["Jx"], failed_now),
@@ -532,8 +600,8 @@ def make_batched_ilqr_solver(
 
         return body
 
-    def solve(params, x0s, uguess):
-        carry0 = make_carry0(params, x0s, uguess)
+    def solve(params, x0s, uguess, cost_params=None):
+        carry0 = make_carry0(params, x0s, uguess, cost_params)
         out = jax.lax.while_loop(cond, make_body(params), carry0)
         return out["converged"], out["xs"], out["us"], out["Ks"], out["ks"]
 
@@ -607,9 +675,9 @@ def make_staged_ilqr_solver(
         b = 1 << max(0, int(np.ceil(np.log2(max(1, n_active)))))
         return min(cur, max(b, min_bucket))
 
-    def solve_staged(params, x0s, uguess):
+    def solve_staged(params, x0s, uguess, cost_params=None):
         B = x0s.shape[0]
-        carry = init(params, x0s, uguess)
+        carry = init(params, x0s, uguess, cost_params)
         idx = np.arange(B)  # original lane index per slot; -1 = padding
         out = dict(
             converged=jnp.zeros(B, dtype=bool),
@@ -733,7 +801,7 @@ def make_scheduled_ilqr_solver(
             front,
         )
 
-    def solve(params, x0s, uguess):
+    def solve(params, x0s, uguess, cost_params=None):
         B = x0s.shape[0]
         body = make_body(params)
 
@@ -770,7 +838,7 @@ def make_scheduled_ilqr_solver(
                 n_active <= B_next, compacted, overflow, carry
             )
 
-        carry = make_carry0(params, x0s, uguess)
+        carry = make_carry0(params, x0s, uguess, cost_params)
         out = recurse(carry, tuple(schedule))
         return out["converged"], out["xs"], out["us"], out["Ks"], out["ks"]
 

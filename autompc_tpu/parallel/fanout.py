@@ -40,6 +40,15 @@ class QuadCostFanout:
         Qdiag (B, n), Fdiag (B, n), Rdiag (B, m)
     and returns the per-candidate task cost of the closed-loop surrogate
     trajectory, shape (B,).
+
+    ``impl="batched"`` (default) runs the whole candidate batch through
+    ONE per-lane-cost iLQR solver per closed-loop step
+    (control/ilqr.py:make_batched_ilqr_solver(quad_cost_batch=True)):
+    the backward pass, line search, and relinearization see (B, ...)
+    tensors — large MXU tiles instead of vmap's lane-sliced loops over
+    tiny (ds, ds) solves. ``impl="vmap"`` keeps the per-candidate
+    vmapped solver (the reference-shaped formulation; used by the
+    parity tests).
     """
 
     def __init__(
@@ -52,6 +61,8 @@ class QuadCostFanout:
         n_steps: Optional[int] = None,
         mesh=None,
         goal=None,
+        impl: str = "batched",
+        compact_schedule=None,
     ):
         self.system = system
         self.task = task
@@ -78,6 +89,88 @@ class QuadCostFanout:
 
         seed_traj = traj_zeros(system, 1).set_obs(0, init_obs)
         mstate0 = model.traj_to_state(seed_traj)
+
+        if impl == "batched":
+            from ..control.ilqr import (
+                make_batched_ilqr_solver,
+                make_scheduled_ilqr_solver,
+            )
+
+            # ``compact_schedule``: optional converged-lane compaction
+            # cut points for the per-step solve (see
+            # make_scheduled_ilqr_solver); pays off when the candidate
+            # batch's solve-iteration histogram is long-tailed and B is
+            # large enough that the argsort+gather is amortized.
+            solver_kw = dict(
+                H=horizon, ds=ds, dc=dc, obsdim=n,
+                dt=system.dt, ubounds=ubounds, backward="scan",
+                quad_cost_batch=True, quad_goal=goal,
+            )
+            if compact_schedule is not None:
+                solve = make_scheduled_ilqr_solver(
+                    model.pred_core, None,
+                    schedule=tuple(compact_schedule), **solver_kw,
+                )
+            else:
+                solve = make_batched_ilqr_solver(
+                    model.pred_core, None, **solver_kw
+                )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                batch_sharding = NamedSharding(
+                    mesh, PartitionSpec(mesh.axis_names[0])
+                )
+
+            def eval_batch(cost_params):
+                B = cost_params["Qdiag"].shape[0]
+                if mesh is not None:
+                    cost_params = jax.lax.with_sharding_constraint(
+                        cost_params, batch_sharding
+                    )
+                obs0 = jnp.broadcast_to(init_obs, (B, n))
+                mst0 = jax.tree_util.tree_map(
+                    lambda a: jnp.broadcast_to(a, (B,) + jnp.shape(a)),
+                    mstate0,
+                )
+
+                def body(carry, _):
+                    mstate, last_u, obs = carry
+                    state = jax.vmap(
+                        lambda m, u, o: model.update_state_core(
+                            model_params, m, u, o
+                        )
+                    )(mstate, last_u, obs)
+                    _, xs, us, Ks, ks = solve(
+                        model_params, state,
+                        jnp.zeros((B, horizon, dc)), cost_params,
+                    )
+                    u = us[:, 0] + jnp.einsum(
+                        "bij,bj->bi", Ks[:, 0], state - xs[:, 0]
+                    )
+                    next_obs = jax.vmap(
+                        lambda o, uu: surrogate.pred_core(
+                            surr_params, o, uu
+                        )[:n]
+                    )(obs, u)
+                    return (state, u, next_obs), (obs, u)
+
+                carry0 = (mst0, jnp.zeros((B, dc)), obs0)
+                (_, _, last_obs), (obs_seq, ctrl_seq) = jax.lax.scan(
+                    body, carry0, None, length=n_steps
+                )
+                stage = jax.vmap(jax.vmap(task_cost.eval_obs_cost))(
+                    obs_seq
+                ).sum(axis=0) + jax.vmap(task_cost.eval_obs_cost)(last_obs)
+                ctrlc = jax.vmap(jax.vmap(task_cost.eval_ctrl_cost))(
+                    ctrl_seq
+                ).sum(axis=0)
+                term = jax.vmap(task_cost.eval_term_obs_cost)(last_obs)
+                total = stage + ctrlc + term
+                return jnp.where(jnp.isfinite(total), total, jnp.inf)
+
+            self._eval = jax.jit(eval_batch)
+            return
 
         def eval_one(cost_params):
             cost = QuadCost(

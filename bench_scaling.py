@@ -54,10 +54,22 @@ def main():
     results = []
     for n_dev in sizes:
         mesh = make_mesh(n_devices=n_dev)
+        # SCALE_COMPACT="15:0.5,30:0.25" enables converged-lane
+        # compaction inside the per-step solve; SCALE_IMPL=vmap selects
+        # the per-candidate vmapped formulation.
+        compact = os.environ.get("SCALE_COMPACT")
         fanout = QuadCostFanout(
             benchmark.system, benchmark.task, model, model,
             horizon=horizon, n_steps=n_steps, mesh=mesh,
             goal=np.zeros(4),
+            impl=os.environ.get("SCALE_IMPL", "batched"),
+            compact_schedule=(
+                tuple(
+                    (int(c.split(":")[0]), float(c.split(":")[1]))
+                    for c in compact.split(",")
+                )
+                if compact else None
+            ),
         )
         B = per_device * n_dev
         batch = {

@@ -271,3 +271,81 @@ def test_scheduled_compaction_matches_batched(setup):
                 np.asarray(a).astype(float),
                 np.asarray(v).astype(float), atol=1e-8
             )
+
+
+def test_quad_cost_batch_per_lane(setup):
+    """Per-lane diagonal quadratic costs (quad_cost_batch=True):
+    (a) one iteration matches the fixed-QuadCost solver analytically
+    (same expansions/objective up to f32 op-order noise);
+    (b) the full batched solve is bitwise consistent with itself at
+    B=1 per lane (batching independence);
+    (c) the scheduled compaction variant passes cost params through."""
+    from autompc_tpu.control.ilqr import make_scheduled_ilqr_solver
+
+    b, model, cost, common = setup
+    goal = jnp.zeros(4)
+    rng = np.random.default_rng(11)
+    B = 6
+    Qd = jnp.asarray(rng.uniform(0.01, 10, (B, 4)))
+    Rd = jnp.asarray(rng.uniform(1e-3, 1, (B, 1)))
+    Fd = jnp.asarray(rng.uniform(0.01, 10, (B, 4)))
+    cps = dict(Qdiag=Qd, Rdiag=Rd, Fdiag=Fd)
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 4)) * np.array([3.1, 1, 1, 1]))
+    ug = jnp.zeros((B, common["H"], 1))
+
+    quad = jax.jit(make_batched_ilqr_solver(
+        model.pred_core, None, backward="scan",
+        quad_cost_batch=True, quad_goal=goal, **common
+    ))
+    out_q = quad(model.params, x0s, ug, cps)
+
+    # (a) single-iteration analytic agreement with fixed QuadCost.
+    kw1 = dict(common, max_iter=1)
+    from autompc_tpu.costs import QuadCost
+
+    lane = 2
+    fixed1 = jax.jit(make_batched_ilqr_solver(
+        model.pred_core,
+        QuadCost(b.system, jnp.diag(Qd[lane]), jnp.diag(Rd[lane]),
+                 jnp.diag(Fd[lane]), goal=goal),
+        backward="scan", **kw1
+    ))
+    quad1 = jax.jit(make_batched_ilqr_solver(
+        model.pred_core, None, backward="scan",
+        quad_cost_batch=True, quad_goal=goal, **kw1
+    ))
+    of = fixed1(model.params, x0s[lane:lane + 1], ug[:1])
+    oq = quad1(
+        model.params, x0s[lane:lane + 1], ug[:1],
+        jax.tree_util.tree_map(lambda a: a[lane:lane + 1], cps),
+    )
+    for a, v in zip(oq, of):
+        np.testing.assert_allclose(
+            np.asarray(a).astype(float), np.asarray(v).astype(float),
+            atol=1e-4
+        )
+
+    # (b) full solve: batch of 6 == six B=1 solves, bitwise.
+    for i in range(B):
+        out_1 = quad(
+            model.params, x0s[i:i + 1], ug[:1],
+            jax.tree_util.tree_map(lambda a: a[i:i + 1], cps),
+        )
+        for a, v in zip(out_q, out_1):
+            np.testing.assert_allclose(
+                np.asarray(a)[i].astype(float),
+                np.asarray(v)[0].astype(float), atol=1e-8
+            )
+
+    # (c) scheduled variant.
+    sched = jax.jit(make_scheduled_ilqr_solver(
+        model.pred_core, None, backward="scan",
+        quad_cost_batch=True, quad_goal=goal,
+        schedule=((4, 0.5),), **common
+    ))
+    out_s = sched(model.params, x0s, ug, cps)
+    for a, v in zip(out_s, out_q):
+        np.testing.assert_allclose(
+            np.asarray(a).astype(float), np.asarray(v).astype(float),
+            atol=1e-8
+        )
