@@ -66,6 +66,7 @@ class PipelineTuner:
         eval_batch: int = 4,
         use_fanout: bool = False,
         mesh=None,
+        fanout_compact=None,
     ):
         """``surrogate_mode``: one of "defaultcfg", "fixedcfg",
         "autotune", "autoselect", "pretrain"
@@ -80,6 +81,11 @@ class PipelineTuner:
         program (parallel/fanout.py) — candidate synthesis + closed-loop
         surrogate rollout + metric, all on device. Per-candidate
         surrogate trajectories are not recorded on this path.
+
+        ``fanout_compact``: optional converged-lane compaction schedule
+        ``((cut_iter, size_frac), ...)`` for the iLQR fan-out's
+        per-step solve (make_scheduled_ilqr_solver); worthwhile for
+        large ``eval_batch`` (measured 3.3x at 512 candidates/chip).
         """
         self.surrogate_mode = surrogate_mode
         self.surrogate_factory = surrogate_factory
@@ -91,6 +97,7 @@ class PipelineTuner:
         self.eval_batch = int(eval_batch)
         self.use_fanout = bool(use_fanout)
         self.mesh = mesh
+        self.fanout_compact = fanout_compact
 
     def _fanout_kind(self, pipeline, surrogate):
         """Which fan-out fast path (if any) covers this pipeline:
@@ -177,7 +184,9 @@ class PipelineTuner:
                 if kind == "ilqr":
                     fanouts[key] = QuadCostFanout(
                         system, task, pipeline.model, surrogate,
-                        horizon=key, **common,
+                        horizon=key,
+                        compact_schedule=self.fanout_compact,
+                        **common,
                     )
                 elif kind == "mppi":
                     fanouts[key] = MPPIFanout(
