@@ -63,6 +63,9 @@ class QuadCostFanout:
         goal=None,
         impl: str = "batched",
         compact_schedule=None,
+        backward: str = "scan",
+        feature_spec=None,
+        block_b: int = 128,
     ):
         self.system = system
         self.task = task
@@ -101,9 +104,14 @@ class QuadCostFanout:
             # make_scheduled_ilqr_solver); pays off when the candidate
             # batch's solve-iteration histogram is long-tailed and B is
             # large enough that the argsort+gather is amortized.
+            # ``backward="pallas"`` / ``feature_spec`` opt the per-step
+            # solve into the Pallas Riccati / line-search kernels (same
+            # knobs as make_batched_ilqr_solver; dc=1 for the backward
+            # kernel, linear-in-features model for the line search).
             solver_kw = dict(
                 H=horizon, ds=ds, dc=dc, obsdim=n,
-                dt=system.dt, ubounds=ubounds, backward="scan",
+                dt=system.dt, ubounds=ubounds, backward=backward,
+                feature_spec=feature_spec, block_b=block_b,
                 quad_cost_batch=True, quad_goal=goal,
             )
             if compact_schedule is not None:

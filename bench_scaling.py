@@ -46,11 +46,15 @@ def main():
 
     n_total = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
-    # Measured sweet spot on v5e (3.3x the vmap-formulation number at
-    # the old batch 64): 512 candidates/device with a 4-stage
-    # converged-lane compaction schedule inside the per-step solve.
+    # Measured sweet spot on v5e (6.8x the vmap-formulation number at
+    # the old batch 64): 512 candidates/device, 4-stage converged-lane
+    # compaction inside the per-step solve, and (on TPU) the Pallas
+    # Riccati-backward + line-search kernels.
     per_device = int(os.environ.get("SCALE_PER_DEVICE", "512"))
     os.environ.setdefault("SCALE_COMPACT", "8:0.5,16:0.25,28:0.125,40:0.0625")
+    if jax.default_backend() == "tpu":
+        os.environ.setdefault("SCALE_BACKWARD", "pallas")
+        os.environ.setdefault("SCALE_LS", "pallas")
     horizon = int(os.environ.get("SCALE_HORIZON", "10"))
     n_steps = int(os.environ.get("SCALE_STEPS", "50"))
 
@@ -73,6 +77,11 @@ def main():
                     for c in compact.split(",")
                 )
                 if compact else None
+            ),
+            backward=os.environ.get("SCALE_BACKWARD", "scan"),
+            feature_spec=(
+                (model.library, "coeffs")
+                if os.environ.get("SCALE_LS") == "pallas" else None
             ),
         )
         B = per_device * n_dev
