@@ -214,3 +214,59 @@ class TestMPPIRolloutSharding:
         with pytest.raises(ValueError, match="not divisible"):
             MPPI(benchmark.system, benchmark.task, model,
                  horizon=8, num_path=100, mesh=mesh)
+
+
+class TestBatchedFanoutCompaction:
+    def test_compacted_fanout_matches_plain_on_mesh(self, setup):
+        """Converged-lane compaction inside the fan-out's per-step solve
+        (argsort + gather under SPMD sharding) changes nothing about the
+        candidate scores on an 8-device mesh."""
+        benchmark, model = setup
+        mesh = make_mesh()
+        kw = dict(horizon=8, n_steps=15, mesh=mesh, goal=np.zeros(4))
+        f_plain = QuadCostFanout(
+            benchmark.system, benchmark.task, model, model, **kw
+        )
+        f_comp = QuadCostFanout(
+            benchmark.system, benchmark.task, model, model,
+            compact_schedule=((6, 0.5), (12, 0.25)), **kw
+        )
+        rng = np.random.default_rng(0)
+        B = 64
+        batch = {
+            "Qdiag": jnp.asarray(rng.uniform(0.1, 20.0, (B, 4))),
+            "Fdiag": jnp.asarray(rng.uniform(0.1, 20.0, (B, 4))),
+            "Rdiag": jnp.asarray(rng.uniform(0.001, 1.0, (B, 1))),
+        }
+        c1 = np.asarray(f_plain(batch))
+        c2 = np.asarray(f_comp(batch))
+        fin = np.isfinite(c1)
+        np.testing.assert_array_equal(fin, np.isfinite(c2))
+        np.testing.assert_allclose(c1[fin], c2[fin], rtol=1e-6)
+
+    def test_batched_impl_matches_vmap_impl(self, setup):
+        """The batch-native fan-out scores candidates like the
+        per-candidate vmapped formulation (converged solves; f32
+        op-order drift only)."""
+        benchmark, model = setup
+        task = benchmark.task.copy()
+        task.set_init_obs(np.array([0.5, 0.0, 0.0, 0.0]))
+        kw = dict(horizon=8, n_steps=20, mesh=make_mesh(), goal=np.zeros(4))
+        f_b = QuadCostFanout(
+            benchmark.system, task, model, model, impl="batched", **kw
+        )
+        f_v = QuadCostFanout(
+            benchmark.system, task, model, model, impl="vmap", **kw
+        )
+        rng = np.random.default_rng(5)
+        B = 16
+        batch = {
+            "Qdiag": jnp.asarray(rng.uniform(0.1, 20.0, (B, 4))),
+            "Fdiag": jnp.asarray(rng.uniform(0.1, 20.0, (B, 4))),
+            "Rdiag": jnp.asarray(rng.uniform(0.001, 1.0, (B, 1))),
+        }
+        cb = np.asarray(f_b(batch))
+        cv = np.asarray(f_v(batch))
+        fin = np.isfinite(cv)
+        np.testing.assert_array_equal(fin, np.isfinite(cb))
+        np.testing.assert_allclose(cb[fin], cv[fin], rtol=1e-4)
