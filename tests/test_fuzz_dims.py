@@ -99,3 +99,44 @@ def test_ilqr_reuse_feedback_clamped_to_horizon():
     system, model, task, dyn, x0 = make_linear_system(2, 1, seed=3)
     con = IterativeLQR(system, task, model, horizon=5, reuse_feedback=99)
     assert con.reuse_feedback == 5
+
+
+@pytest.mark.parametrize("n,m", DIMS)
+def test_quad_cost_batch_solver_all_dims(n, m):
+    """Per-lane quad-cost batched + scheduled solvers across obs/ctrl
+    dimensionality (dc>1 exercises the non-pallas backward and the
+    vector control clipping)."""
+    from autompc_tpu.control.ilqr import (
+        make_batched_ilqr_solver,
+        make_scheduled_ilqr_solver,
+    )
+
+    system, model, task, dyn, x0 = make_linear_system(n, m, seed=n * 10 + m)
+    bounds = task.get_ctrl_bounds()
+    kw = dict(
+        H=8, ds=n, dc=m, obsdim=n, dt=system.dt,
+        ubounds=(bounds[:, 0], bounds[:, 1]),
+        backward="scan", max_iter=8,
+        quad_cost_batch=True, quad_goal=np.zeros(n),
+    )
+    rng = np.random.default_rng(0)
+    B = 5
+    cps = dict(
+        Qdiag=jnp.asarray(rng.uniform(0.1, 5, (B, n))),
+        Rdiag=jnp.asarray(rng.uniform(0.01, 1, (B, m))),
+        Fdiag=jnp.asarray(rng.uniform(0.1, 5, (B, n))),
+    )
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, n)))
+    ug = jnp.zeros((B, 8, m))
+    batched = jax.jit(make_batched_ilqr_solver(model.pred_core, None, **kw))
+    out_b = batched(model.params, x0s, ug, cps)
+    assert np.isfinite(np.asarray(out_b[2])).all()
+    sched = jax.jit(make_scheduled_ilqr_solver(
+        model.pred_core, None, schedule=((3, 0.5),), **kw
+    ))
+    out_s = sched(model.params, x0s, ug, cps)
+    for a, v in zip(out_s, out_b):
+        np.testing.assert_allclose(
+            np.asarray(a).astype(float), np.asarray(v).astype(float),
+            atol=1e-8,
+        )
