@@ -734,6 +734,24 @@ def make_staged_ilqr_solver(
     return solve_staged
 
 
+def parse_schedule(s):
+    """Parse a compaction schedule string ``"cut:frac,cut:frac,..."``
+    (e.g. ``"20:0.5,38:0.25"``) into the ``((cut_iter, size_frac), ...)``
+    tuples ``make_scheduled_ilqr_solver`` takes. Empty/None -> None."""
+    if not s:
+        return None
+    out = []
+    for chunk in s.split(","):
+        cut, frac = chunk.split(":")
+        frac = float(frac)
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(
+                f"schedule size_frac must be in (0, 1], got {frac}"
+            )
+        out.append((int(cut), frac))
+    return tuple(out)
+
+
 def make_scheduled_ilqr_solver(
     pred_core,
     cost,
@@ -756,14 +774,17 @@ def make_scheduled_ilqr_solver(
     link). The convergence histogram of the swing-up workload is
     long-tailed (median lane ~15 of the slowest lane's ~50 iterations,
     ~63%% of lane-iteration work wasted), so the solve follows a static
-    compaction ``schedule``: a list of ``(cut_iter, size_frac)``. At
-    each cut, lanes are stably sorted by their done flag (active lanes
-    first) and, **if** the active count fits, the front ``size_frac *
-    B`` lanes continue alone — the backward pass, line search, and
+    compaction ``schedule``: a list of ``(cut_iter, size_frac)`` with
+    ``size_frac`` relative to the ORIGINAL batch size. At each cut,
+    lanes are stably sorted by their done flag (active lanes first)
+    and, **if** the active count fits, the front ``size_frac * B``
+    lanes continue alone — the backward pass, line search, and
     relinearization all shrink — and are scattered back at the end.
     If the actives overflow the bucket (workload shifted), a
-    ``lax.cond`` falls back to finishing at the current size: the
-    schedule is a performance hint, never a correctness bound.
+    ``lax.cond`` stays at the current size but keeps the later cuts
+    alive: the schedule is a performance hint, never a correctness
+    bound. ``parse_schedule`` turns the ``"cut:frac,..."`` string the
+    bench harnesses use into this form.
 
     Per-lane trajectories are unchanged by compaction (lanes are
     independent; on TPU, reductions may tile differently at different
@@ -816,7 +837,10 @@ def make_scheduled_ilqr_solver(
             if not sched:
                 return run_until(carry, max_iter)
             cut, frac = sched[0]
-            B_next = max(1, int(round(B_cur * frac)))
+            # size_frac is relative to the ORIGINAL batch size, so a
+            # schedule reads as absolute bucket sizes regardless of how
+            # many earlier cuts were taken (or skipped via overflow).
+            B_next = max(1, int(round(B * frac)))
             if B_next >= B_cur:
                 return recurse(carry, sched[1:])
             carry = run_until(carry, cut)
@@ -831,8 +855,14 @@ def make_scheduled_ilqr_solver(
                 return _scatter(carry, front, front_idx, B_cur)
 
             def overflow(carry):
-                # Actives don't fit the bucket: finish at this size.
-                return run_until(carry, max_iter)
+                # Actives don't fit this bucket: stay at the current
+                # size but keep the LATER cuts alive — one early
+                # overflow shouldn't forfeit the rest of the schedule.
+                # (Both branches of every cond are compiled, so the
+                # program grows with 2^len(schedule) run_until
+                # instantiations; fine for the 2-4 stage schedules in
+                # use.)
+                return recurse(carry, sched[1:])
 
             return jax.lax.cond(
                 n_active <= B_next, compacted, overflow, carry

@@ -22,11 +22,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..control.ilqr import make_ilqr_solver
 from ..costs import QuadCost
 from ..utils.simulation import rollout_scan
-from .mesh import make_mesh, shard_vmap
+from .mesh import make_mesh, pad_to_multiple, shard_vmap
 
 
 class QuadCostFanout:
@@ -67,6 +68,10 @@ class QuadCostFanout:
         feature_spec=None,
         block_b: int = 128,
     ):
+        if impl not in ("batched", "vmap"):
+            raise ValueError(
+                f"impl must be 'batched' or 'vmap', got {impl!r}"
+            )
         self.system = system
         self.task = task
         n_steps = n_steps or (task.get_num_steps() or 200) - 1
@@ -177,7 +182,21 @@ class QuadCostFanout:
                 total = stage + ctrlc + term
                 return jnp.where(jnp.isfinite(total), total, jnp.inf)
 
-            self._eval = jax.jit(eval_batch)
+            eval_jit = jax.jit(eval_batch)
+            n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+            pad_quantum = max(n_dev, 8)
+
+            def eval_padded(cost_params):
+                # Pad ragged candidate batches to a quantum (edge-
+                # replicated lanes, results sliced off) so varying BO
+                # bucket occupancy reuses one compiled program instead
+                # of retracing this minutes-to-compile solver per
+                # distinct B — the same contract shard_vmap gives the
+                # per-candidate path (parallel/mesh.py:pad_to_multiple).
+                padded, n_real = pad_to_multiple(cost_params, pad_quantum)
+                return eval_jit(padded)[:n_real]
+
+            self._eval = eval_padded
             return
 
         def eval_one(cost_params):

@@ -98,13 +98,15 @@ def main():
         # static cut points — measured 1.90x vs the single-program
         # batch at B=4096 (8683 vs 4563 solves/s). "off" = plain batch.
         if os.environ.get("BENCH_SCHED", "on") != "off":
-            # e.g. BENCH_SCHEDULE="20:0.5,38:0.25"
-            sched_env = os.environ.get("BENCH_SCHEDULE")
-            if sched_env:
-                schedule = tuple(
-                    (int(c.split(":")[0]), float(c.split(":")[1]))
-                    for c in sched_env.split(",")
-                )
+            from autompc_tpu.control.ilqr import parse_schedule
+
+            # Measured best at B=16384 (done-fraction ~66% by iter 20,
+            # ~90% by 38; fracs are relative to the original batch):
+            # 8490 solves/s vs 7595 for the solver's generic default.
+            schedule = parse_schedule(
+                os.environ.get("BENCH_SCHEDULE", "20:0.5,38:0.125")
+            )
+            if schedule:
                 solver_kw["schedule"] = schedule
             batch_solve = jax.jit(
                 make_scheduled_ilqr_solver(model.pred_core, cost, **solver_kw)

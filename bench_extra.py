@@ -148,6 +148,61 @@ def main():
         }
     )
 
+    # --- model-tuning throughput: bucketed ARX candidate scoring ----
+    # (replaces SMAC's one-candidate-at-a-time model tuner; every
+    # history candidate trains + scores in one device program,
+    # tuning/bucketed.py)
+    from autompc_tpu.tuning.bucketed import ARXBucketEvaluator
+
+    tl = trajs.to_list()
+    arx_eval = ARXBucketEvaluator(
+        system, tl[:40], tl[40:], kmax=10, horizon=5
+    )
+    ks = list(range(1, 11))
+    arx_eval(ks)  # compile
+    start = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        arx_eval(ks)
+    lat = (time.perf_counter() - start) / reps
+    results.append(
+        {
+            "metric": "arx_bucket_train_and_score_configs_per_s",
+            "value": round(len(ks) / lat, 1),
+            "unit": "configs/s",
+        }
+    )
+
+    # --- SVGP surrogate: train + batched prediction ------------------
+    # (the reference delegates this to GPyTorch+CUDA, largegp.py)
+    from autompc_tpu.sysid import ApproximateGPModel
+
+    gp = ApproximateGPModel(
+        system, niter=5, induce_count=64, batch_size=256, seed=0
+    )
+    start = time.perf_counter()
+    gp.train(tl[:40])
+    t_train = time.perf_counter() - start
+    xs = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (4096, system.obs_dim))
+    )
+    us = jnp.zeros((4096, system.ctrl_dim))
+    preds = gp.pred_batch(xs, us)  # compile
+    jax.block_until_ready(preds)
+    start = time.perf_counter()
+    for _ in range(10):
+        preds = gp.pred_batch(xs, us)
+        jax.block_until_ready(preds)
+    lat = (time.perf_counter() - start) / 10
+    results.append(
+        {
+            "metric": "svgp_train_s_and_pred_throughput",
+            "train_s": round(t_train, 2),
+            "value": round(4096 / lat, 1),
+            "unit": "preds/s",
+        }
+    )
+
     for r in results:
         print(json.dumps(r))
 

@@ -46,15 +46,21 @@ def main():
 
     n_total = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
+    from autompc_tpu.control.ilqr import parse_schedule
+
     # Measured sweet spot on v5e (6.8x the vmap-formulation number at
     # the old batch 64): 512 candidates/device, 4-stage converged-lane
     # compaction inside the per-step solve, and (on TPU) the Pallas
     # Riccati-backward + line-search kernels.
+    on_tpu = jax.default_backend() == "tpu"
     per_device = int(os.environ.get("SCALE_PER_DEVICE", "512"))
-    os.environ.setdefault("SCALE_COMPACT", "8:0.5,16:0.25,28:0.125,40:0.0625")
-    if jax.default_backend() == "tpu":
-        os.environ.setdefault("SCALE_BACKWARD", "pallas")
-        os.environ.setdefault("SCALE_LS", "pallas")
+    compact = parse_schedule(
+        os.environ.get("SCALE_COMPACT", "8:0.5,16:0.25,28:0.125,40:0.0625")
+    )
+    backward = os.environ.get(
+        "SCALE_BACKWARD", "pallas" if on_tpu else "scan"
+    )
+    ls = os.environ.get("SCALE_LS", "pallas" if on_tpu else "")
     horizon = int(os.environ.get("SCALE_HORIZON", "10"))
     n_steps = int(os.environ.get("SCALE_STEPS", "50"))
 
@@ -62,26 +68,18 @@ def main():
     results = []
     for n_dev in sizes:
         mesh = make_mesh(n_devices=n_dev)
-        # SCALE_COMPACT="15:0.5,30:0.25" enables converged-lane
-        # compaction inside the per-step solve; SCALE_IMPL=vmap selects
-        # the per-candidate vmapped formulation.
-        compact = os.environ.get("SCALE_COMPACT")
+        # SCALE_COMPACT="15:0.5,30:0.25" sets the converged-lane
+        # compaction schedule (empty string disables); SCALE_IMPL=vmap
+        # selects the per-candidate vmapped formulation.
         fanout = QuadCostFanout(
             benchmark.system, benchmark.task, model, model,
             horizon=horizon, n_steps=n_steps, mesh=mesh,
             goal=np.zeros(4),
             impl=os.environ.get("SCALE_IMPL", "batched"),
-            compact_schedule=(
-                tuple(
-                    (int(c.split(":")[0]), float(c.split(":")[1]))
-                    for c in compact.split(",")
-                )
-                if compact else None
-            ),
-            backward=os.environ.get("SCALE_BACKWARD", "scan"),
+            compact_schedule=compact,
+            backward=backward,
             feature_spec=(
-                (model.library, "coeffs")
-                if os.environ.get("SCALE_LS") == "pallas" else None
+                (model.library, "coeffs") if ls == "pallas" else None
             ),
         )
         B = per_device * n_dev
