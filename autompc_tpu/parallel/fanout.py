@@ -67,6 +67,7 @@ class QuadCostFanout:
         backward: str = "scan",
         feature_spec=None,
         block_b: int = 128,
+        warm_start: bool = False,
     ):
         if impl not in ("batched", "vmap"):
             raise ValueError(
@@ -148,15 +149,24 @@ class QuadCostFanout:
                 )
 
                 def body(carry, _):
-                    mstate, last_u, obs = carry
+                    mstate, last_u, obs, us_prev = carry
                     state = jax.vmap(
                         lambda m, u, o: model.update_state_core(
                             model_params, m, u, o
                         )
                     )(mstate, last_u, obs)
+                    if warm_start:
+                        # Receding-horizon warm start: shift the
+                        # previous step's solution one knot (beyond-
+                        # parity option; the reference re-solves from
+                        # zeros every step, ilqr.py:275).
+                        uguess = jnp.concatenate(
+                            [us_prev[:, 1:], us_prev[:, -1:]], axis=1
+                        )
+                    else:
+                        uguess = jnp.zeros((B, horizon, dc))
                     _, xs, us, Ks, ks = solve(
-                        model_params, state,
-                        jnp.zeros((B, horizon, dc)), cost_params,
+                        model_params, state, uguess, cost_params,
                     )
                     u = us[:, 0] + jnp.einsum(
                         "bij,bj->bi", Ks[:, 0], state - xs[:, 0]
@@ -166,10 +176,13 @@ class QuadCostFanout:
                             surr_params, o, uu
                         )[:n]
                     )(obs, u)
-                    return (state, u, next_obs), (obs, u)
+                    return (state, u, next_obs, us), (obs, u)
 
-                carry0 = (mst0, jnp.zeros((B, dc)), obs0)
-                (_, _, last_obs), (obs_seq, ctrl_seq) = jax.lax.scan(
+                carry0 = (
+                    mst0, jnp.zeros((B, dc)), obs0,
+                    jnp.zeros((B, horizon, dc)),
+                )
+                (_, _, last_obs, _), (obs_seq, ctrl_seq) = jax.lax.scan(
                     body, carry0, None, length=n_steps
                 )
                 stage = jax.vmap(jax.vmap(task_cost.eval_obs_cost))(

@@ -67,6 +67,7 @@ class PipelineTuner:
         use_fanout: bool = False,
         mesh=None,
         fanout_compact=None,
+        fanout_warm_start: bool = False,
     ):
         """``surrogate_mode``: one of "defaultcfg", "fixedcfg",
         "autotune", "autoselect", "pretrain"
@@ -86,6 +87,11 @@ class PipelineTuner:
         ``((cut_iter, size_frac), ...)`` for the iLQR fan-out's
         per-step solve (make_scheduled_ilqr_solver); worthwhile for
         large ``eval_batch`` (measured 3.3x at 512 candidates/chip).
+
+        ``fanout_warm_start=True`` warm-starts each closed-loop step's
+        iLQR solve from the previous step's shifted solution instead of
+        the reference's zero guess (a beyond-parity option: ~1.6x more
+        evals/s, and the evaluated controller is the warm-started MPC).
         """
         self.surrogate_mode = surrogate_mode
         self.surrogate_factory = surrogate_factory
@@ -98,6 +104,7 @@ class PipelineTuner:
         self.use_fanout = bool(use_fanout)
         self.mesh = mesh
         self.fanout_compact = fanout_compact
+        self.fanout_warm_start = bool(fanout_warm_start)
 
     def _fanout_kind(self, pipeline, surrogate):
         """Which fan-out fast path (if any) covers this pipeline:
@@ -186,6 +193,7 @@ class PipelineTuner:
                         system, task, pipeline.model, surrogate,
                         horizon=key,
                         compact_schedule=self.fanout_compact,
+                        warm_start=self.fanout_warm_start,
                         **common,
                     )
                 elif kind == "mppi":

@@ -81,6 +81,7 @@ def main():
             feature_spec=(
                 (model.library, "coeffs") if ls == "pallas" else None
             ),
+            warm_start=bool(os.environ.get("SCALE_WARM")),
         )
         B = per_device * n_dev
         batch = {

@@ -270,3 +270,31 @@ class TestBatchedFanoutCompaction:
         fin = np.isfinite(cv)
         np.testing.assert_array_equal(fin, np.isfinite(cb))
         np.testing.assert_allclose(cb[fin], cv[fin], rtol=1e-4)
+
+
+def test_warm_started_fanout_scores_sanely(setup):
+    """warm_start=True (receding-horizon warm start, beyond-parity
+    option) produces finite scores that track the zero-guess scores on
+    a stabilization task (both controllers converge, so closed-loop
+    costs land close)."""
+    benchmark, model = setup
+    task = benchmark.task.copy()
+    task.set_init_obs(np.array([0.5, 0.0, 0.0, 0.0]))
+    kw = dict(horizon=8, n_steps=20, mesh=make_mesh(), goal=np.zeros(4))
+    f_cold = QuadCostFanout(benchmark.system, task, model, model, **kw)
+    f_warm = QuadCostFanout(
+        benchmark.system, task, model, model, warm_start=True, **kw
+    )
+    rng = np.random.default_rng(9)
+    B = 8
+    batch = {
+        "Qdiag": jnp.asarray(rng.uniform(0.5, 10.0, (B, 4))),
+        "Fdiag": jnp.asarray(rng.uniform(0.5, 10.0, (B, 4))),
+        "Rdiag": jnp.asarray(rng.uniform(0.001, 0.5, (B, 1))),
+    }
+    c_cold = np.asarray(f_cold(batch))
+    c_warm = np.asarray(f_warm(batch))
+    assert np.isfinite(c_warm).all()
+    # Same task, converged solves: warm-started closed-loop costs stay
+    # within 20% of the zero-guess ones on this stabilization workload.
+    np.testing.assert_allclose(c_warm, c_cold, rtol=0.2)
