@@ -129,19 +129,8 @@ class QuadCostFanout:
                 solve = make_batched_ilqr_solver(
                     model.pred_core, None, **solver_kw
                 )
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                batch_sharding = NamedSharding(
-                    mesh, PartitionSpec(mesh.axis_names[0])
-                )
-
             def eval_batch(cost_params):
                 B = cost_params["Qdiag"].shape[0]
-                if mesh is not None:
-                    cost_params = jax.lax.with_sharding_constraint(
-                        cost_params, batch_sharding
-                    )
                 obs0 = jnp.broadcast_to(init_obs, (B, n))
                 mst0 = jax.tree_util.tree_map(
                     lambda a: jnp.broadcast_to(a, (B,) + jnp.shape(a)),
@@ -195,17 +184,37 @@ class QuadCostFanout:
                 total = stage + ctrlc + term
                 return jnp.where(jnp.isfinite(total), total, jnp.inf)
 
-            eval_jit = jax.jit(eval_batch)
-            n_dev = 1 if mesh is None else int(np.prod(mesh.devices.shape))
-            pad_quantum = max(n_dev, 8)
+            if mesh is None:
+                eval_jit = jax.jit(eval_batch)
+                n_dev = 1
+            else:
+                # shard_map over the candidate axis: candidates are
+                # independent, so EVERYTHING — the per-lane solve, the
+                # compaction argsort+gather, the closed-loop scan — is
+                # shard-local with zero collectives. (A plain sharded
+                # jit would implement jnp.argsort over the global batch
+                # axis with cross-device data movement; per-shard
+                # while_loops are also free to take different trip
+                # counts, which SPMD allows when nothing synchronizes.)
+                from jax.sharding import PartitionSpec as P
+
+                spec = P(mesh.axis_names[0])
+                eval_jit = jax.jit(
+                    jax.shard_map(
+                        eval_batch, mesh=mesh,
+                        in_specs=(spec,), out_specs=spec,
+                        check_vma=False,
+                    )
+                )
+                n_dev = int(np.prod(mesh.devices.shape))
+            # Pad quantum: smallest multiple of the mesh size >= 8, so
+            # shards stay equal AND ragged BO bucket occupancy reuses
+            # one compiled program (this solver takes minutes to
+            # compile cold) — the contract shard_vmap gives the
+            # per-candidate path (parallel/mesh.py:pad_to_multiple).
+            pad_quantum = n_dev * max(1, -(-8 // n_dev))
 
             def eval_padded(cost_params):
-                # Pad ragged candidate batches to a quantum (edge-
-                # replicated lanes, results sliced off) so varying BO
-                # bucket occupancy reuses one compiled program instead
-                # of retracing this minutes-to-compile solver per
-                # distinct B — the same contract shard_vmap gives the
-                # per-candidate path (parallel/mesh.py:pad_to_multiple).
                 padded, n_real = pad_to_multiple(cost_params, pad_quantum)
                 return eval_jit(padded)[:n_real]
 
