@@ -240,6 +240,7 @@ def make_batched_ilqr_solver(
     analytic_jac: bool = False,
     fuse_ls: bool = False,
     block_b: int = 128,
+    ls_block_l: int = 5,
     return_pieces: bool = False,
     quad_cost_batch: bool = False,
     quad_goal=None,
@@ -517,6 +518,7 @@ def make_batched_ilqr_solver(
                         params[coeffs_key], alphas,
                         ls_umin, ls_umax,
                         block_b=TB if B % TB == 0 else B,
+                        block_l=ls_block_l,
                     )
                 else:
                     ls_xs, ls_us = jax.vmap(

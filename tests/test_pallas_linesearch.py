@@ -114,6 +114,15 @@ def test_multi_control_matches_scan():
     )
     assert ls_xs.shape == (B, 4, H + 1, n)
     assert ls_us.shape == (B, 4, H, m)
+    # Single alpha-block layout (block_l == L, the bench default) is
+    # bitwise identical to the 2-alpha blocking.
+    ls_xs1, ls_us1 = pallas_sindy_line_search(
+        tuple(m_sindy.library._fns), x0, xs, us, Ks, ks,
+        m_sindy.coeffs, alphas, umin, umax,
+        block_b=B, block_l=4, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ls_xs1), np.asarray(ls_xs))
+    np.testing.assert_array_equal(np.asarray(ls_us1), np.asarray(ls_us))
 
     params = m_sindy.params
 
