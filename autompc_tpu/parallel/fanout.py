@@ -118,6 +118,7 @@ class QuadCostFanout:
                 H=horizon, ds=ds, dc=dc, obsdim=n,
                 dt=system.dt, ubounds=ubounds, backward=backward,
                 feature_spec=feature_spec, block_b=block_b,
+                ls_block_l=10,  # one alpha-block per program (bench-tuned)
                 quad_cost_batch=True, quad_goal=goal,
             )
             if compact_schedule is not None:
