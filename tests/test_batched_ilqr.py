@@ -349,3 +349,15 @@ def test_quad_cost_batch_per_lane(setup):
             np.asarray(a).astype(float), np.asarray(v).astype(float),
             atol=1e-8
         )
+
+
+def test_parse_schedule():
+    from autompc_tpu.control.ilqr import parse_schedule
+
+    assert parse_schedule(None) is None
+    assert parse_schedule("") is None
+    assert parse_schedule("20:0.5,38:0.125") == ((20, 0.5), (38, 0.125))
+    with pytest.raises(ValueError, match="size_frac"):
+        parse_schedule("10:1.5")
+    with pytest.raises(ValueError):
+        parse_schedule("nonsense")
