@@ -19,8 +19,8 @@ articulated-body simulator in jax**:
   complementarity problem over the Delassus operator, with MuJoCo-style
   compliance (CFM) and Baumgarte push-out — inelastic Coulomb contacts
   like the gym model's, not a penalty spring.
-* Semi-implicit Euler at dt=0.01 with 5 substeps per control step
-  (frame-skip semantics of halfcheetah.py:28-43; env dt = 0.05).
+* Linearly-implicit Euler at dt=0.002 with 25 substeps per control
+  step (frame-skip semantics of halfcheetah.py:28-43; env dt = 0.05).
 
 Generalized coordinates (gym ordering): ``[rootx, rootz, rooty,
 bthigh, bshin, bfoot, fthigh, fshin, ffoot]``. Link parameters

@@ -612,6 +612,37 @@ def make_batched_ilqr_solver(
     return solve
 
 
+def _batch_gather(tree, idx, B):
+    """Gather rows ``idx`` from every batch-leading leaf (those whose
+    first dim equals ``B``); other leaves (scalars like ``itr``) pass
+    through. Shared by the staged and scheduled compaction drivers —
+    a carry field whose leading dim is not the batch axis only needs
+    handling here."""
+    return jax.tree_util.tree_map(
+        lambda a: (
+            a[idx]
+            if getattr(a, "ndim", 0) >= 1 and a.shape[0] == B
+            else a
+        ),
+        tree,
+    )
+
+
+def _batch_scatter(full, front, idx, B):
+    """Inverse of ``_batch_gather``: write ``front``'s rows back at
+    ``idx`` in every batch-leading leaf of ``full``; non-batch leaves
+    take the front's value (e.g. ``itr`` — the front ran longest)."""
+    return jax.tree_util.tree_map(
+        lambda f, fr: (
+            f.at[idx].set(fr)
+            if getattr(f, "ndim", 0) >= 1 and f.shape[0] == B
+            else fr
+        ),
+        full,
+        front,
+    )
+
+
 def make_staged_ilqr_solver(
     pred_core,
     cost,
@@ -683,10 +714,10 @@ def make_staged_ilqr_solver(
         idx = np.arange(B)  # original lane index per slot; -1 = padding
         out = dict(
             converged=jnp.zeros(B, dtype=bool),
-            xs=jnp.zeros((B, H + 1, ds)),
-            us=jnp.zeros((B, H, dc)),
-            Ks=jnp.zeros((B, H, dc, ds)),
-            ks=jnp.zeros((B, H, dc)),
+            xs=jnp.zeros((B, H + 1, ds), dtype=x0s.dtype),
+            us=jnp.zeros((B, H, dc), dtype=x0s.dtype),
+            Ks=jnp.zeros((B, H, dc, ds), dtype=x0s.dtype),
+            ks=jnp.zeros((B, H, dc), dtype=x0s.dtype),
         )
 
         def flush(local_slots):
@@ -715,16 +746,7 @@ def make_staged_ilqr_solver(
                 # they do no work and produce no output (idx -1).
                 pad_loc = np.where(done)[0][: nb - n_active]
                 sel = np.concatenate([act_loc, pad_loc])
-                ncur = cur
-                carry = jax.tree_util.tree_map(
-                    lambda a: (
-                        a[jnp.asarray(sel)]
-                        if getattr(a, "ndim", 0) >= 1
-                        and a.shape[0] == ncur
-                        else a
-                    ),
-                    carry,
-                )
+                carry = _batch_gather(carry, jnp.asarray(sel), cur)
                 idx = np.concatenate(
                     [idx[act_loc], np.full(nb - n_active, -1, dtype=int)]
                 )
@@ -803,27 +825,6 @@ def make_scheduled_ilqr_solver(
         ubounds=ubounds, max_iter=max_iter, return_pieces=True, **kwargs,
     )
 
-    def _gather(carry, idx, B_cur):
-        return jax.tree_util.tree_map(
-            lambda a: (
-                a[idx]
-                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == B_cur
-                else a
-            ),
-            carry,
-        )
-
-    def _scatter(full, front, idx, B_cur):
-        return jax.tree_util.tree_map(
-            lambda f, fr: (
-                f.at[idx].set(fr)
-                if getattr(f, "ndim", 0) >= 1 and f.shape[0] == B_cur
-                else fr  # scalars (itr): take the front's, it ran longest
-            ),
-            full,
-            front,
-        )
-
     def solve(params, x0s, uguess, cost_params=None):
         B = x0s.shape[0]
         body = make_body(params)
@@ -852,9 +853,9 @@ def make_scheduled_ilqr_solver(
             front_idx = perm[:B_next]
 
             def compacted(carry):
-                front = _gather(carry, front_idx, B_cur)
+                front = _batch_gather(carry, front_idx, B_cur)
                 front = recurse(front, sched[1:])
-                return _scatter(carry, front, front_idx, B_cur)
+                return _batch_scatter(carry, front, front_idx, B_cur)
 
             def overflow(carry):
                 # Actives don't fit this bucket: stay at the current

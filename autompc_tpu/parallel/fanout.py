@@ -122,6 +122,10 @@ class QuadCostFanout:
                 quad_cost_batch=True, quad_goal=goal,
             )
             if compact_schedule is not None:
+                if isinstance(compact_schedule, str):
+                    from ..control.ilqr import parse_schedule
+
+                    compact_schedule = parse_schedule(compact_schedule)
                 solve = make_scheduled_ilqr_solver(
                     model.pred_core, None,
                     schedule=tuple(compact_schedule), **solver_kw,
@@ -166,11 +170,14 @@ class QuadCostFanout:
                             surr_params, o, uu
                         )[:n]
                     )(obs, u)
-                    return (state, u, next_obs, us), (obs, u)
+                    # Only carry the previous solution when it is read.
+                    return (
+                        state, u, next_obs, us if warm_start else us_prev
+                    ), (obs, u)
 
                 carry0 = (
                     mst0, jnp.zeros((B, dc)), obs0,
-                    jnp.zeros((B, horizon, dc)),
+                    jnp.zeros((B, horizon if warm_start else 0, dc)),
                 )
                 (_, _, last_obs, _), (obs_seq, ctrl_seq) = jax.lax.scan(
                     body, carry0, None, length=n_steps
@@ -291,8 +298,6 @@ class DirectTranscriptionFanout:
         mesh=None,
         goal=None,
     ):
-        import numpy as np
-
         from ..control.nmpc import make_sqp_solver
 
         n_steps = n_steps or (task.get_num_steps() or 200) - 1
