@@ -204,6 +204,32 @@ class DirectTranscriptionController(Controller):
             us_guess=jnp.zeros((H, dc)),
         )
 
+    def set_guess(self, cstate, us_guess, xs_guess=None):
+        """Return a controller state whose next solve warm-starts from the
+        given knot-point guess (reference nmpc.py:263-266 ``set_guess``;
+        functional here — warm starts live in the controller-state pytree,
+        not on the object).
+
+        ``us_guess``: (H, ctrl_dim) control knots. ``xs_guess``: optional
+        (H+1, state_dim) state knots; if omitted, states are filled by
+        rolling the model forward from the current model state under
+        ``us_guess`` (the reference's flat decision vector packs both).
+        """
+        H, ds, dc = self.horizon, self.model.state_dim, self.system.ctrl_dim
+        us_guess = jnp.asarray(us_guess, dtype=jnp.float32).reshape(H, dc)
+        if xs_guess is None:
+            params = self._model_params
+
+            def roll(x, u):
+                xn = self.model.pred_core(params, x, u)
+                return xn, xn
+
+            x0 = cstate["model_state"]
+            _, tail = jax.lax.scan(roll, x0, us_guess)
+            xs_guess = jnp.concatenate([x0[None], tail], axis=0)
+        xs_guess = jnp.asarray(xs_guess, dtype=jnp.float32).reshape(H + 1, ds)
+        return dict(cstate, xs_guess=xs_guess, us_guess=us_guess)
+
     def step(self, cstate, new_obs):
         params = self._model_params
         x = self.model.update_state_core(

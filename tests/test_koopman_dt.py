@@ -243,6 +243,61 @@ class TestDirectTranscription:
         final = np.asarray(traj.obs[-1])
         assert np.abs(final).max() < 0.05, f"final {final}"
 
+    def test_set_guess_seeds_warm_start(self):
+        """``set_guess`` (reference nmpc.py:263-266) installs a user
+        knot-point guess into the controller state; omitted states are
+        filled by rolling the model under the guessed controls."""
+        system = ampc.System(["p", "v"], ["u"], dt=0.1)
+        A_true = np.array([[1.0, 0.1], [0.0, 1.0]])
+        B_true = np.array([[0.0], [0.1]])
+
+        class Lin(ampc.Model):
+            def traj_to_state(self, traj):
+                return jnp.asarray(traj[-1].obs)
+
+            def pred_core(self, params, s, u):
+                return jnp.asarray(A_true) @ s + jnp.asarray(B_true) @ u
+
+            @property
+            def params(self):
+                return {}
+
+            @property
+            def state_dim(self):
+                return 2
+
+        model = Lin(system)
+        task = ampc.Task(system)
+        task.set_cost(QuadCost(system, np.eye(2), 0.1 * np.eye(1), goal=np.zeros(2)))
+        task.set_ctrl_bound("u", -10.0, 10.0)
+        con = DirectTranscriptionController(system, task, model, horizon=1)
+        H = con.horizon
+
+        traj = ampc.from_arrays(
+            system, np.array([[1.0, 0.0]]), np.array([[0.0]])
+        )
+        cstate = con.traj_to_state(traj)
+        us = np.full((H, 1), 0.5)
+        cstate2 = con.set_guess(cstate, us)
+        np.testing.assert_allclose(np.asarray(cstate2["us_guess"]), us)
+        # states filled by rolling the model from the current state
+        x = np.array([1.0, 0.0])
+        expect = [x]
+        for t in range(H):
+            x = A_true @ x + B_true @ us[t]
+            expect.append(x)
+        np.testing.assert_allclose(
+            np.asarray(cstate2["xs_guess"]), np.array(expect), rtol=1e-6
+        )
+        # explicit xs_guess is taken verbatim
+        xs = np.zeros((H + 1, 2))
+        cstate3 = con.set_guess(cstate, us, xs_guess=xs)
+        np.testing.assert_allclose(np.asarray(cstate3["xs_guess"]), xs)
+        # other fields untouched
+        np.testing.assert_allclose(
+            np.asarray(cstate3["model_state"]), np.asarray(cstate["model_state"])
+        )
+
     def test_dt_with_koopman_on_linear_plant(self):
         """Koopman + DT end-to-end (configs[3]): on a linear plant the
         identity-basis Koopman model is exact, so DT must stabilize."""
