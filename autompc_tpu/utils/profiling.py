@@ -57,6 +57,41 @@ def timeit_fn(
     return mean, out
 
 
+def timeit_pipelined(
+    fn: Callable,
+    *args,
+    warmup: int = 1,
+    reps: int = 10,
+    name: Optional[str] = None,
+    silent: bool = False,
+):
+    """Time a jax function by queueing ``reps`` async dispatches and
+    blocking ONCE at the end.
+
+    ``timeit_fn`` blocks per call, so on a remote/tunneled device every
+    rep pays the host<->device round-trip (~25 ms on this image's
+    tunnel) — small kernels measure as pure RTT. Pipelined dispatch
+    amortizes the round-trip across all reps; use it whenever the
+    per-call device time may be under a few RTTs. Returns
+    (mean_seconds, result_of_last_call).
+    """
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    mean = (time.perf_counter() - start) / reps
+    if not silent:
+        label = name or getattr(fn, "__name__", "fn")
+        print(
+            f"[timeit-pipe] {label}: {mean * 1e3:.3f} ms/call ({reps} reps)"
+        )
+    return mean, out
+
+
 class StageTimer:
     """Accumulating named-stage wall-clock timer for pipeline phases
     (training, solving, rollout, tuning rounds)."""
