@@ -238,6 +238,7 @@ def make_batched_ilqr_solver(
     backward: str = "pallas",
     feature_spec=None,
     analytic_jac: bool = False,
+    relin: str = "auto",
     fuse_ls: bool = False,
     block_b: int = 128,
     ls_block_l: int = 5,
@@ -285,6 +286,14 @@ def make_batched_ilqr_solver(
     passes (measured a wash vs jacfwd on TPU for the block-vectorized
     library; kept as an option).
 
+    ``relin``: how the accepted trajectory is relinearized — the most
+    expensive phase of the iteration (51% of the body at the headline
+    shape; tools/profile_ilqr_phases.py). "pallas" uses the lanes-last
+    relinearization kernel (ops/pallas_relin.py; needs
+    ``feature_spec``); "xla" keeps the jacfwd/analytic formulation;
+    "auto" (default) picks "pallas" whenever ``feature_spec`` is given,
+    matching the line-search kernel choice.
+
     ``fuse_ls=True`` upgrades the line-search kernel to the fully fused
     variant when the cost is quadratic: objective evaluation and the
     acceptance rule run inside the kernel and only the selected
@@ -307,6 +316,28 @@ def make_batched_ilqr_solver(
         return jnp.clip(u, umin, umax) if ubounds is not None else u
 
     use_pallas = backward == "pallas" and dc == 1
+    if relin not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown relin mode {relin!r}")
+    if relin == "pallas" and feature_spec is None:
+        raise ValueError("relin='pallas' needs feature_spec")
+    use_pallas_relin = feature_spec is not None and relin != "xla"
+
+    def relinearize_batch(params, xs, us):
+        """(B, H+1, ds), (B, H, dc) -> Jx (B, H, ds, ds), Ju
+        (B, H, ds, dc) at the first H points of every lane."""
+        if use_pallas_relin:
+            from ..ops.pallas_relin import pallas_feature_jacobians
+
+            library, coeffs_key = feature_spec
+            B = xs.shape[0]
+            TB = min(block_b, B)
+            return pallas_feature_jacobians(
+                tuple(library._fns), xs, us, params[coeffs_key],
+                block_b=TB if B % TB == 0 else B,
+            )
+        return jax.vmap(
+            lambda xs_, us_: relinearize_one(params, xs_, us_)
+        )(xs, us)
 
     def relinearize_one(params, xs, us):
         if analytic_jac and feature_spec is not None:
@@ -435,9 +466,21 @@ def make_batched_ilqr_solver(
         cp = cost_params if quad_cost_batch else {}
         if quad_cost_batch and cost_params is None:
             raise ValueError("quad_cost_batch solve needs cost_params")
-        xs0, Jx0, Ju0 = jax.vmap(lambda x, u: forward_one(params, x, u))(
-            x0s, uguess
-        )
+        if use_pallas_relin:
+            def roll_one(x0, us):
+                def step(x, u):
+                    pred = pred_core(params, x, u)
+                    return pred, pred
+
+                _, xs1 = jax.lax.scan(step, x0, us, unroll=unroll)
+                return jnp.concatenate([x0[None], xs1], axis=0)
+
+            xs0 = jax.vmap(roll_one)(x0s, uguess)
+            Jx0, Ju0 = relinearize_batch(params, xs0, uguess)
+        else:
+            xs0, Jx0, Ju0 = jax.vmap(
+                lambda x, u: forward_one(params, x, u)
+            )(x0s, uguess)
         obj0 = jax.vmap(eval_obj_one)(xs0, uguess, cp)
         return dict(
             x0s=x0s, cost=cp,
@@ -564,9 +607,7 @@ def make_batched_ilqr_solver(
                 new_us = take(ls_us, sel)
                 new_obj = jnp.where(ls_success, best_obj, last_obj)
 
-            Jx_lin, Ju_lin = jax.vmap(
-                lambda xs_, us_: relinearize_one(params, xs_, us_)
-            )(new_xs, new_us)
+            Jx_lin, Ju_lin = relinearize_batch(params, new_xs, new_us)
             succ = ls_success[:, None, None, None]
             Jx_new = jnp.where(succ, Jx_lin, c["Jx"])
             Ju_new = jnp.where(succ, Ju_lin, c["Ju"])

@@ -91,6 +91,10 @@ def main():
             feature_spec=feature_spec,
             fuse_ls=(ls_mode == "fused"),
             block_b=int(os.environ.get("BENCH_BLOCK", "128")),
+            # BENCH_RELIN: "auto" (Pallas relinearization kernel when
+            # the line-search feature_spec is on — the heaviest phase,
+            # tools/profile_ilqr_phases.py), "xla" (jacfwd).
+            relin=os.environ.get("BENCH_RELIN", "auto"),
             # One alpha-block per program (all 10 alphas as sublanes)
             # measured 8945 vs 8490 solves/s at the 5-alpha default.
             ls_block_l=int(os.environ.get("BENCH_LBLK", "10")),

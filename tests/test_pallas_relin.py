@@ -1,0 +1,155 @@
+"""Pallas relinearization kernel vs jacfwd and the analytic library
+Jacobian (reference semantics: autompc/sysid/sindy.py:226-244 —
+pred_diff_batch returns coeffs @ dTheta/dz per point)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
+from autompc_tpu.ops.pallas_relin import (
+    _pick_block_h,
+    pallas_feature_jacobians,
+)
+from autompc_tpu.sysid import SINDy
+from autompc_tpu.sysid.basis import FeatureLibrary
+
+
+@pytest.fixture(scope="module")
+def model():
+    b = CartpoleSwingupBenchmark()
+    trajs = b.gen_trajs_batch(seed=42, n_trajs=40, traj_len=60)
+    m = SINDy(
+        b.system, method="lstsq", threshold=1e-3,
+        trig_basis=True, trig_freq=1, trig_interaction=True,
+        time_mode="discrete",
+    )
+    m.train(trajs)
+    return m
+
+
+def jacfwd_reference(pred_core, params, xs, us, H):
+    def one_traj(xs, us):
+        def one(x, u):
+            jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
+            ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
+            return jx, ju
+
+        return jax.vmap(one)(xs[:H], us)
+
+    return jax.vmap(one_traj)(xs, us)
+
+
+def test_matches_jacfwd(model):
+    rng = np.random.default_rng(0)
+    B, H, ds, dc = 4, 12, 4, 1
+    xs = jnp.asarray(rng.uniform(-2, 2, (B, H + 1, ds)))
+    us = jnp.asarray(rng.uniform(-5, 5, (B, H, dc)))
+
+    Jx_p, Ju_p = pallas_feature_jacobians(
+        tuple(model.library._fns), xs, us, model.coeffs,
+        block_b=B, interpret=True,
+    )
+    Jx_r, Ju_r = jacfwd_reference(
+        model.pred_core, model.params, xs, us, H
+    )
+    np.testing.assert_allclose(
+        np.asarray(Jx_p), np.asarray(Jx_r), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(Ju_p), np.asarray(Ju_r), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_matches_analytic_library_jacobian(model):
+    rng = np.random.default_rng(1)
+    B, H, ds = 2, 8, 4
+    xs = jnp.asarray(rng.uniform(-1, 1, (B, H + 1, ds)))
+    us = jnp.asarray(rng.uniform(-1, 1, (B, H, 1)))
+
+    Jx_p, Ju_p = pallas_feature_jacobians(
+        tuple(model.library._fns), xs, us, model.coeffs,
+        block_b=B, interpret=True,
+    )
+    z = jnp.concatenate([xs[:, :H], us], axis=-1)
+    Jth = model.library.jacobian(z)                    # (B, H, F, d)
+    jac = jnp.einsum("bhfd,sf->bhsd", Jth, model.coeffs)
+    np.testing.assert_allclose(
+        np.asarray(Jx_p), np.asarray(jac[..., :ds]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(Ju_p), np.asarray(jac[..., ds:]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_horizon_blocking_invariance(model):
+    """Different (block_h, block_b) tilings give identical results."""
+    rng = np.random.default_rng(2)
+    B, H = 4, 12
+    xs = jnp.asarray(rng.uniform(-1, 1, (B, H + 1, 4)))
+    us = jnp.asarray(rng.uniform(-1, 1, (B, H, 1)))
+    fns = tuple(model.library._fns)
+
+    ref = pallas_feature_jacobians(
+        fns, xs, us, model.coeffs, block_b=B, block_h=H, interpret=True
+    )
+    for th in (1, 3, 4):
+        out = pallas_feature_jacobians(
+            fns, xs, us, model.coeffs, block_b=B, block_h=th,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(ref[0]), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[1]), np.asarray(ref[1]), atol=1e-7
+        )
+    out = pallas_feature_jacobians(
+        fns, xs, us, model.coeffs, block_b=2, block_h=6, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), atol=1e-7
+    )
+
+
+def test_multi_control_dims():
+    """dc > 1 and a poly library (exercises cross-term gradients)."""
+    rng = np.random.default_rng(3)
+    ds, dc = 3, 2
+    lib = FeatureLibrary.from_config(
+        ds + dc, poly_basis=True, poly_degree=2, poly_cross_terms=True
+    )
+    F = lib.n_features
+    coeffs = jnp.asarray(rng.normal(size=(ds, F)) * 0.3)
+    B, H = 2, 6
+    xs = jnp.asarray(rng.uniform(-1, 1, (B, H + 1, ds)))
+    us = jnp.asarray(rng.uniform(-1, 1, (B, H, dc)))
+
+    Jx_p, Ju_p = pallas_feature_jacobians(
+        tuple(lib._fns), xs, us, coeffs, block_b=B, interpret=True
+    )
+
+    def pred(x, u):
+        return coeffs @ lib(jnp.concatenate([x, u]))
+
+    def one(x, u):
+        return (
+            jax.jacfwd(lambda s: pred(s, u))(x),
+            jax.jacfwd(lambda uu: pred(x, uu))(u),
+        )
+
+    Jx_r, Ju_r = jax.vmap(jax.vmap(one))(xs[:, :H], us)
+    np.testing.assert_allclose(
+        np.asarray(Jx_p), np.asarray(Jx_r), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(Ju_p), np.asarray(Ju_r), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_pick_block_h():
+    assert _pick_block_h(200, 32) == 25
+    assert _pick_block_h(200, 8) == 8
+    assert _pick_block_h(7, 32) == 7
+    assert _pick_block_h(13, 4) == 1
