@@ -239,6 +239,7 @@ def make_batched_ilqr_solver(
     feature_spec=None,
     analytic_jac: bool = False,
     relin: str = "auto",
+    relin_block_b: int = 1024,
     fuse_ls: bool = False,
     block_b: int = 128,
     ls_block_l: int = 5,
@@ -330,10 +331,19 @@ def make_batched_ilqr_solver(
 
             library, coeffs_key = feature_spec
             B = xs.shape[0]
-            TB = min(block_b, B)
+            # Relinearization has no sequential dependence, so it
+            # takes much bigger batch tiles than the rollout kernels
+            # (its per-program VMEM window is tiny); halve until the
+            # tile divides the (compaction-shrunk) batch.
+            TB = min(relin_block_b, B)
+            while TB > 128 and B % TB != 0:
+                TB //= 2
+            if B % TB != 0:
+                TB = B
             return pallas_feature_jacobians(
                 tuple(library._fns), xs, us, params[coeffs_key],
-                block_b=TB if B % TB == 0 else B,
+                grad_terms=getattr(library, "grad_terms", None),
+                block_b=TB,
             )
         return jax.vmap(
             lambda xs_, us_: relinearize_one(params, xs_, us_)

@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_linesearch import _tree_sum, _VecZ
 
 
-def _relin_kernel(term_fns, ds, dc, xs_ref, us_ref, coeffs_ref, jac_ref):
+def _relin_kernel(term_fns, grad_terms, ds, dc,
+                  xs_ref, us_ref, coeffs_ref, jac_ref):
     """One (horizon-block, batch-block) tile. Shapes (lanes last):
     xs (TH, ds, TB), us (TH, dc, TB), coeffs (ds, F) [SMEM],
     out jac (TH, ds, d, TB) with d = ds + dc."""
@@ -52,6 +53,30 @@ def _relin_kernel(term_fns, ds, dc, xs_ref, us_ref, coeffs_ref, jac_ref):
     comps = [xs_ref[:, i] for i in range(ds)] + [
         us_ref[:, j] for j in range(dc)
     ]  # each (TH, TB)
+
+    if grad_terms is not None:
+        # Sparse analytic gradients (FeatureLibrary.grad_terms): for
+        # each input component, evaluate ONLY the terms with a nonzero
+        # partial — the repeated sin/cos subexpressions across terms
+        # are structurally identical and CSE away. ~5x fewer slab ops
+        # than jvp-per-direction at the cartpole trig library.
+        z = _VecZ(comps)
+        for dd in range(d):
+            slabs = [
+                (k, gfn(z))
+                for k, entries in enumerate(grad_terms)
+                for (ci, gfn) in entries
+                if ci == dd
+            ]
+            for i in range(ds):
+                vals = [coeffs_ref[i, k] * g for k, g in slabs]
+                total = _tree_sum(vals) if vals else 0.0
+                # Constant-gradient terms (identity basis) contribute
+                # SMEM scalars; broadcast to the slab shape on write.
+                jac_ref[:, i, dd] = jnp.broadcast_to(
+                    jnp.asarray(total, comps[0].dtype), comps[0].shape
+                )
+        return
 
     for dd in range(d):
 
@@ -86,11 +111,14 @@ def _pick_block_h(H: int, block_h: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("term_fns", "block_b", "block_h", "interpret")
+    jax.jit,
+    static_argnames=(
+        "term_fns", "grad_terms", "block_b", "block_h", "interpret",
+    ),
 )
 def pallas_feature_jacobians(
-    term_fns, xs, us, coeffs,
-    block_b: int = 128, block_h: int = 32, interpret: bool = False,
+    term_fns, xs, us, coeffs, grad_terms=None,
+    block_b: int = 1024, block_h: int = 8, interpret: bool = False,
 ):
     """Batched dynamics Jacobians for a linear-in-features model.
 
@@ -102,7 +130,17 @@ def pallas_feature_jacobians(
         rows are linearization points)
     us : (B, H, dc) controls
     coeffs : (ds, F) model coefficients
-    block_b : lanes per program (multiple of 128, or the full batch)
+    grad_terms : optional static tuple of per-term ((comp, grad_fn),
+        ...) sparse analytic gradients (FeatureLibrary.grad_terms);
+        when given, each Jacobian column evaluates only the nonzero
+        partials instead of a jvp per direction (~1.7x at the
+        cartpole trig library)
+    block_b : lanes per program (multiple of 128, or the full batch).
+        Bigger tiles amortize per-program overhead on the sequential
+        TPU grid — measured at B=16384, H=200 (ms/call, sparse grads):
+        128 lanes 24.0, 256 16.9, 512 13.6, 1024 **10.9**; past
+        (1024, 8) the double-buffered output window exceeds scoped
+        VMEM.
     block_h : horizon steps per program (rounded down to a divisor of H)
 
     Returns ``(Jx (B, H, ds, ds), Ju (B, H, ds, dc))`` matching
@@ -120,7 +158,7 @@ def pallas_feature_jacobians(
     xsT = jnp.transpose(xs[:, :H], (1, 2, 0))          # (H, ds, B)
     usT = jnp.transpose(us, (1, 2, 0))                 # (H, dc, B)
 
-    kernel = functools.partial(_relin_kernel, term_fns, ds, dc)
+    kernel = functools.partial(_relin_kernel, term_fns, grad_terms, ds, dc)
     grid = (B // TB, H // TH)
 
     def vspec(mid):

@@ -22,19 +22,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# A term is (name, fn) where fn maps the full input vector z -> scalar.
+# A term is (name, fn) or (name, fn, grads) where fn maps the full
+# input vector z -> scalar and grads is a tuple of (comp_idx, grad_fn)
+# pairs — the term's nonzero partial derivatives, each grad_fn mapping
+# z -> d(term)/d(z_comp). The sparse form mirrors the reference's
+# hand-written per-basis grad_func lambdas (basis_funcs.py:22-126) and
+# feeds the Pallas relinearization kernel (ops/pallas_relin.py), where
+# evaluating only the genuinely nonzero partials — built from sin/cos
+# subexpressions the compiler CSEs across terms — beats jvp-per-
+# direction by avoiding d redundant primal re-evaluations.
 Term = Tuple[str, Callable]
 
 
 def identity_terms(n_inputs: int) -> List[Term]:
     """x_i (basis_funcs.py:16-20)."""
-    return [(f"z{i}", lambda z, i=i: z[i]) for i in range(n_inputs)]
+    return [
+        (f"z{i}", lambda z, i=i: z[i], ((i, lambda z: 1.0),))
+        for i in range(n_inputs)
+    ]
 
 
 def poly_terms(n_inputs: int, degree: int) -> List[Term]:
     """x_i^degree (basis_funcs.py:22-26)."""
     return [
-        (f"z{i}^{degree}", lambda z, i=i, d=degree: z[i] ** d)
+        (
+            f"z{i}^{degree}",
+            lambda z, i=i, d=degree: z[i] ** d,
+            ((i, lambda z, i=i, d=degree: d * z[i] ** (d - 1)),),
+        )
         for i in range(n_inputs)
     ]
 
@@ -81,7 +96,20 @@ def cross_terms(n_inputs: int, degree: int) -> List[Term]:
                     val = val * z[i] ** e
                 return val
 
-            terms.append((name, fn))
+            def grad_wrt(i0, e0, combo=combo, exp=exp):
+                def g(z, i0=i0, e0=e0):
+                    val = e0 * z[i0] ** (e0 - 1) if e0 > 1 else float(e0)
+                    for i, e in zip(combo, exp):
+                        if i != i0:
+                            val = val * z[i] ** e
+                    return val
+
+                return g
+
+            grads = tuple(
+                (i, grad_wrt(i, e)) for i, e in zip(combo, exp)
+            )
+            terms.append((name, fn, grads))
     return terms
 
 
@@ -89,8 +117,16 @@ def trig_terms(n_inputs: int, freq: int) -> List[Term]:
     """sin(freq x_i), cos(freq x_i) (basis_funcs.py:97-106)."""
     out: List[Term] = []
     for i in range(n_inputs):
-        out.append((f"sin({freq} z{i})", lambda z, i=i, f=freq: jnp.sin(f * z[i])))
-        out.append((f"cos({freq} z{i})", lambda z, i=i, f=freq: jnp.cos(f * z[i])))
+        out.append((
+            f"sin({freq} z{i})",
+            lambda z, i=i, f=freq: jnp.sin(f * z[i]),
+            ((i, lambda z, i=i, f=freq: f * jnp.cos(f * z[i])),),
+        ))
+        out.append((
+            f"cos({freq} z{i})",
+            lambda z, i=i, f=freq: jnp.cos(f * z[i]),
+            ((i, lambda z, i=i, f=freq: -f * jnp.sin(f * z[i])),),
+        ))
     return out
 
 
@@ -99,18 +135,38 @@ def trig_interaction_terms(n_inputs: int, freq: int) -> List[Term]:
     (basis_funcs.py:108-126: both argument orders of each pair)."""
     out: List[Term] = []
     for i, j in itertools.combinations(range(n_inputs), 2):
-        out.append(
-            (f"z{i} sin({freq} z{j})", lambda z, i=i, j=j, f=freq: z[i] * jnp.sin(f * z[j]))
-        )
-        out.append(
-            (f"z{j} sin({freq} z{i})", lambda z, i=i, j=j, f=freq: z[j] * jnp.sin(f * z[i]))
-        )
-        out.append(
-            (f"z{i} cos({freq} z{j})", lambda z, i=i, j=j, f=freq: z[i] * jnp.cos(f * z[j]))
-        )
-        out.append(
-            (f"z{j} cos({freq} z{i})", lambda z, i=i, j=j, f=freq: z[j] * jnp.cos(f * z[i]))
-        )
+        out.append((
+            f"z{i} sin({freq} z{j})",
+            lambda z, i=i, j=j, f=freq: z[i] * jnp.sin(f * z[j]),
+            (
+                (i, lambda z, j=j, f=freq: jnp.sin(f * z[j])),
+                (j, lambda z, i=i, j=j, f=freq: f * z[i] * jnp.cos(f * z[j])),
+            ),
+        ))
+        out.append((
+            f"z{j} sin({freq} z{i})",
+            lambda z, i=i, j=j, f=freq: z[j] * jnp.sin(f * z[i]),
+            (
+                (j, lambda z, i=i, f=freq: jnp.sin(f * z[i])),
+                (i, lambda z, i=i, j=j, f=freq: f * z[j] * jnp.cos(f * z[i])),
+            ),
+        ))
+        out.append((
+            f"z{i} cos({freq} z{j})",
+            lambda z, i=i, j=j, f=freq: z[i] * jnp.cos(f * z[j]),
+            (
+                (i, lambda z, j=j, f=freq: jnp.cos(f * z[j])),
+                (j, lambda z, i=i, j=j, f=freq: -f * z[i] * jnp.sin(f * z[j])),
+            ),
+        ))
+        out.append((
+            f"z{j} cos({freq} z{i})",
+            lambda z, i=i, j=j, f=freq: z[j] * jnp.cos(f * z[i]),
+            (
+                (j, lambda z, i=i, f=freq: jnp.cos(f * z[i])),
+                (i, lambda z, i=i, j=j, f=freq: -f * z[j] * jnp.sin(f * z[i])),
+            ),
+        ))
     return out
 
 
@@ -137,10 +193,24 @@ class FeatureLibrary:
         self._fns = [t[1] for t in terms]
         self._blocks = blocks  # list of callables Z -> (..., k)
         self._jac_blocks = jac_blocks  # list of callables Z -> (..., k, d)
+        self._term_grads = [
+            tuple(t[2]) if len(t) > 2 else None for t in terms
+        ]
 
     @property
     def n_features(self) -> int:
         return len(self._fns)
+
+    @property
+    def grad_terms(self):
+        """Sparse per-term analytic gradients as a static (hashable)
+        tuple — ``grad_terms[k]`` is a tuple of ``(comp_idx, grad_fn)``
+        pairs for term k — or ``None`` if any term lacks them (custom
+        term lists). Consumed by the Pallas relinearization kernel
+        (ops/pallas_relin.py)."""
+        if any(g is None for g in self._term_grads):
+            return None
+        return tuple(self._term_grads)
 
     def __call__(self, z):
         """z: (..., n_inputs) -> (..., n_features). Traceable."""

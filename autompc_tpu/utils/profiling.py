@@ -92,6 +92,42 @@ def timeit_pipelined(
     return mean, out
 
 
+def timeit_distinct(
+    fn: Callable,
+    inputs,
+    warmup: int = 1,
+    name: Optional[str] = None,
+    silent: bool = False,
+):
+    """Time ``fn`` over a list of DISTINCT inputs, blocking once.
+
+    The remote-execution layer behind the axon tunnel can memoize a
+    dispatch whose (program, inputs) it has already executed, so
+    repeated same-input reps (``timeit_fn``/``timeit_pipelined``) can
+    read arbitrarily fast. Passing a different input per rep defeats
+    that. ``inputs`` is a sequence of argument TUPLES; warmup runs the
+    first ``warmup`` of them (their reps are excluded from timing).
+    Returns (mean_seconds, result_of_last_call).
+    """
+    out = None
+    for a in inputs[:warmup]:
+        out = fn(*a)
+    jax.block_until_ready(out)
+    timed = inputs[warmup:] if warmup else inputs
+    start = time.perf_counter()
+    for a in timed:
+        out = fn(*a)
+    jax.block_until_ready(out)
+    mean = (time.perf_counter() - start) / max(1, len(timed))
+    if not silent:
+        label = name or getattr(fn, "__name__", "fn")
+        print(
+            f"[timeit-distinct] {label}: {mean * 1e3:.3f} ms/call "
+            f"({len(timed)} distinct reps)"
+        )
+    return mean, out
+
+
 class StageTimer:
     """Accumulating named-stage wall-clock timer for pipeline phases
     (training, solving, rollout, tuning rounds)."""

@@ -95,6 +95,7 @@ def main():
             # the line-search feature_spec is on — the heaviest phase,
             # tools/profile_ilqr_phases.py), "xla" (jacfwd).
             relin=os.environ.get("BENCH_RELIN", "auto"),
+            relin_block_b=int(os.environ.get("BENCH_RELIN_BLOCK", "1024")),
             # One alpha-block per program (all 10 alphas as sublanes)
             # measured 8945 vs 8490 solves/s at the 5-alpha default.
             ls_block_l=int(os.environ.get("BENCH_LBLK", "10")),

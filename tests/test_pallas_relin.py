@@ -62,6 +62,82 @@ def test_matches_jacfwd(model):
     )
 
 
+def test_grad_terms_path_matches_jvp_path(model):
+    """The sparse analytic-gradient kernel path (grad_terms) agrees
+    with the jvp path and with jacfwd."""
+    rng = np.random.default_rng(4)
+    B, H, ds, dc = 4, 12, 4, 1
+    xs = jnp.asarray(rng.uniform(-2, 2, (B, H + 1, ds)))
+    us = jnp.asarray(rng.uniform(-5, 5, (B, H, dc)))
+    fns = tuple(model.library._fns)
+    gts = model.library.grad_terms
+    assert gts is not None and len(gts) == len(fns)
+
+    Jx_g, Ju_g = pallas_feature_jacobians(
+        fns, xs, us, model.coeffs, grad_terms=gts,
+        block_b=B, interpret=True,
+    )
+    Jx_j, Ju_j = pallas_feature_jacobians(
+        fns, xs, us, model.coeffs, block_b=B, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(Jx_g), np.asarray(Jx_j), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(Ju_g), np.asarray(Ju_j), rtol=1e-6, atol=1e-6
+    )
+    Jx_r, Ju_r = jacfwd_reference(
+        model.pred_core, model.params, xs, us, H
+    )
+    np.testing.assert_allclose(
+        np.asarray(Jx_g), np.asarray(Jx_r), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_grad_terms_cross_and_poly():
+    """Sparse gradients for poly powers + cross terms (exercises the
+    product-rule entries) against jacfwd."""
+    rng = np.random.default_rng(5)
+    ds, dc = 3, 2
+    lib = FeatureLibrary.from_config(
+        ds + dc, poly_basis=True, poly_degree=3, poly_cross_terms=True
+    )
+    gts = lib.grad_terms
+    assert gts is not None
+    coeffs = jnp.asarray(rng.normal(size=(ds, lib.n_features)) * 0.3)
+    B, H = 2, 6
+    xs = jnp.asarray(rng.uniform(0.2, 1.5, (B, H + 1, ds)))
+    us = jnp.asarray(rng.uniform(0.2, 1.5, (B, H, dc)))
+
+    Jx_g, Ju_g = pallas_feature_jacobians(
+        tuple(lib._fns), xs, us, coeffs, grad_terms=gts,
+        block_b=B, interpret=True,
+    )
+
+    def pred(x, u):
+        return coeffs @ lib(jnp.concatenate([x, u]))
+
+    def one(x, u):
+        return (
+            jax.jacfwd(lambda s: pred(s, u))(x),
+            jax.jacfwd(lambda uu: pred(x, uu))(u),
+        )
+
+    Jx_r, Ju_r = jax.vmap(jax.vmap(one))(xs[:, :H], us)
+    np.testing.assert_allclose(
+        np.asarray(Jx_g), np.asarray(Jx_r), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(Ju_g), np.asarray(Ju_r), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_grad_terms_none_for_custom_terms():
+    """Custom 2-tuple terms disable the sparse path."""
+    lib = FeatureLibrary([("z0", lambda z: z[0])])
+    assert lib.grad_terms is None
+
+
 def test_matches_analytic_library_jacobian(model):
     rng = np.random.default_rng(1)
     B, H, ds = 2, 8, 4

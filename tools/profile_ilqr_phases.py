@@ -40,7 +40,7 @@ def main():
     from autompc_tpu.control.ilqr import make_batched_ilqr_solver
     from autompc_tpu.costs import QuadCost
     from autompc_tpu.sysid import SINDy
-    from autompc_tpu.utils.profiling import timeit_pipelined
+    from autompc_tpu.utils.profiling import timeit_distinct  # noqa: F401
 
     benchmark = CartpoleSwingupBenchmark()
     system = benchmark.system
@@ -222,34 +222,63 @@ def main():
     err = float(jnp.max(jnp.abs(Jx_p - Jx)))
     print(f"[phase] pallas-vs-jacfwd Jacobian max |diff|: {err:.2e}")
 
+    def relinearize_pallas_sparse(xs, us):
+        return pallas_feature_jacobians(
+            tuple(library._fns), xs, us, params["coeffs"],
+            grad_terms=library.grad_terms,
+            block_b=kw["block_b"] if B % kw["block_b"] == 0 else B,
+        )
+
+    jrel_sp = jax.jit(relinearize_pallas_sparse)
+    Jx_s, Ju_s = jrel_sp(new_xs, new_us)
+    jax.block_until_ready(Ju_s)
+    err = float(jnp.max(jnp.abs(Jx_s - Jx)))
+    print(f"[phase] pallas(sparse)-vs-jacfwd Jacobian max |diff|: {err:.2e}")
+
     # ---- timings -----------------------------------------------------
+    # The remote-execution layer can memoize identical (program, input)
+    # dispatches, so every rep must be a DISTINCT dispatch: perturb one
+    # operand by a per-rep epsilon (a cheap elementwise add that cannot
+    # change the phase's runtime, only its dispatch identity).
+    from autompc_tpu.utils.profiling import timeit_distinct
+
     reps = int(os.environ.get("PHASE_REPS", "20"))
+    epss = [(jnp.float32(i) * jnp.float32(1e-6),) for i in range(reps + 1)]
     results = {}
-    results["expansions"], _ = timeit_pipelined(
-        lambda: jexp(carry), reps=reps, name="expansions", silent=True)
-    results["backward"], _ = timeit_pipelined(
-        lambda: jback(carry, Cxx, Cuu, cx, cu, Vn, vn),
-        reps=reps, name="backward", silent=True)
-    results["linesearch"], _ = timeit_pipelined(
-        lambda: jls(carry, Ks, ks), reps=reps, name="linesearch", silent=True)
-    results["objective"], _ = timeit_pipelined(
-        lambda: jobj(carry, ls_xs, ls_us, lin_red, quad_red, ks),
-        reps=reps, name="objective", silent=True)
-    results["relinearize"], _ = timeit_pipelined(
-        lambda: jrel(new_xs, new_us), reps=reps, name="relinearize",
-        silent=True)
-    results["relin(analytic)"], _ = timeit_pipelined(
-        lambda: jrel_an(new_xs, new_us), reps=reps, name="relin_analytic",
-        silent=True)
-    results["relin(pallas)"], _ = timeit_pipelined(
-        lambda: jrel_pl(new_xs, new_us), reps=reps, name="relin_pallas",
-        silent=True)
-    results["body(full)"], _ = timeit_pipelined(
-        lambda: jbody(carry), reps=reps, name="body", silent=True)
+
+    def timed(name, fn):
+        results[name], _ = timeit_distinct(
+            jax.jit(fn), epss, name=name, silent=True
+        )
+
+    timed("expansions", lambda e: jexp({**carry, "xs": carry["xs"] + e}))
+    timed(
+        "backward",
+        lambda e: jback(carry, Cxx, Cuu, cx + e, cu, Vn, vn),
+    )
+    timed(
+        "linesearch",
+        lambda e: jls(carry, Ks, ks + e),
+    )
+    timed(
+        "objective",
+        lambda e: jobj(carry, ls_xs, ls_us, lin_red + e, quad_red, ks),
+    )
+    timed("relinearize", lambda e: jrel(new_xs + e, new_us))
+    timed("relin(analytic)", lambda e: jrel_an(new_xs + e, new_us))
+    timed("relin(pallas)", lambda e: jrel_pl(new_xs + e, new_us))
+    timed("relin(sparse)", lambda e: jrel_sp(new_xs + e, new_us))
+    timed(
+        "body(full)",
+        lambda e: jbody({**carry, "xs": carry["xs"] + e}),
+    )
 
     phase_sum = sum(
         v for k, v in results.items()
-        if k not in ("body(full)", "relin(analytic)", "relin(pallas)")
+        if k not in (
+            "body(full)", "relin(analytic)", "relin(pallas)",
+            "relin(sparse)",
+        )
     )
     print(f"\nPer-iteration phase timing (pipelined), B={B}, H={H}:")
     for k, v in results.items():
