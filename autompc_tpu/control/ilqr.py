@@ -240,6 +240,7 @@ def make_batched_ilqr_solver(
     analytic_jac: bool = False,
     relin: str = "auto",
     relin_block_b: int = 1024,
+    feature_mask=None,
     fuse_ls: bool = False,
     block_b: int = 128,
     ls_block_l: int = 5,
@@ -287,6 +288,19 @@ def make_batched_ilqr_solver(
     passes (measured a wash vs jacfwd on TPU for the block-vectorized
     library; kept as an option).
 
+    ``feature_mask``: optional static feature sparsity for the Pallas
+    kernels — a boolean sequence over the library's features, or a
+    tuple of active feature indices. A thresholded STLSQ fit typically
+    leaves most coefficient columns exactly zero (the headline
+    cartpole model uses 7 of 55 features), yet the kernels evaluate
+    every term function per rollout step; masking skips dead features
+    at TRACE time (term tuples and coefficient columns are filtered
+    before the kernel). The compiled solve is only correct for params
+    whose coefficients are zero outside the mask — pass it when the
+    model is fixed (a trained controller, the tuning fan-out's shared
+    surrogate), never when one compiled program must serve arbitrary
+    retrained coefficients.
+
     ``relin``: how the accepted trajectory is relinearized — the most
     expensive phase of the iteration (51% of the body at the headline
     shape; tools/profile_ilqr_phases.py). "pallas" uses the lanes-last
@@ -323,6 +337,33 @@ def make_batched_ilqr_solver(
         raise ValueError("relin='pallas' needs feature_spec")
     use_pallas_relin = feature_spec is not None and relin != "xla"
 
+    if feature_mask is not None:
+        if feature_spec is None:
+            raise ValueError("feature_mask needs feature_spec")
+        fm = tuple(feature_mask)
+        if all(isinstance(b, (bool, np.bool_)) for b in fm):
+            active_idx = tuple(i for i, b in enumerate(fm) if b)
+        else:
+            active_idx = tuple(int(i) for i in fm)
+        if not active_idx:
+            raise ValueError("feature_mask masks out every feature")
+    else:
+        active_idx = None
+
+    def _active_terms(library):
+        """Static term-fns / grad-terms filtered to the active feature
+        set, plus a coeffs-column selector applied inside the trace."""
+        fns = tuple(library._fns)
+        gts = getattr(library, "grad_terms", None)
+        if active_idx is None:
+            return fns, gts, (lambda c: c)
+        fns_a = tuple(fns[k] for k in active_idx)
+        gts_a = (
+            tuple(gts[k] for k in active_idx) if gts is not None else None
+        )
+        sel = jnp.asarray(active_idx, dtype=jnp.int32)
+        return fns_a, gts_a, (lambda c: c[:, sel])
+
     def relinearize_batch(params, xs, us):
         """(B, H+1, ds), (B, H, dc) -> Jx (B, H, ds, ds), Ju
         (B, H, ds, dc) at the first H points of every lane."""
@@ -340,9 +381,10 @@ def make_batched_ilqr_solver(
                 TB //= 2
             if B % TB != 0:
                 TB = B
+            fns_a, gts_a, sel = _active_terms(library)
             return pallas_feature_jacobians(
-                tuple(library._fns), xs, us, params[coeffs_key],
-                grad_terms=getattr(library, "grad_terms", None),
+                fns_a, xs, us, sel(params[coeffs_key]),
+                grad_terms=gts_a,
                 block_b=TB,
             )
         return jax.vmap(
@@ -549,10 +591,11 @@ def make_batched_ilqr_solver(
 
                 library, coeffs_key = feature_spec
                 TB = min(block_b, B)
+                fns_a, _, sel = _active_terms(library)
                 (new_xs, new_us, new_obj, ls_success,
                  failed_now) = pallas_fused_line_search(
-                    tuple(library._fns), x0s, xs, us, Ks, ks,
-                    params[coeffs_key], alphas, ls_umin, ls_umax,
+                    fns_a, x0s, xs, us, Ks, ks,
+                    sel(params[coeffs_key]), alphas, ls_umin, ls_umax,
                     cost._Q, cost._R, cost._F, cost._goal, dt,
                     c["obj"], lin_red, quad_red, ks_small,
                     ls_cost_threshold=ls_cost_threshold,
@@ -566,9 +609,10 @@ def make_batched_ilqr_solver(
 
                     library, coeffs_key = feature_spec
                     TB = min(block_b, B)
+                    fns_a, _, sel = _active_terms(library)
                     ls_xs, ls_us = pallas_sindy_line_search(
-                        tuple(library._fns), x0s, xs, us, Ks, ks,
-                        params[coeffs_key], alphas,
+                        fns_a, x0s, xs, us, Ks, ks,
+                        sel(params[coeffs_key]), alphas,
                         ls_umin, ls_umax,
                         block_b=TB if B % TB == 0 else B,
                         block_l=ls_block_l,

@@ -96,6 +96,21 @@ def main():
             # tools/profile_ilqr_phases.py), "xla" (jacfwd).
             relin=os.environ.get("BENCH_RELIN", "auto"),
             relin_block_b=int(os.environ.get("BENCH_RELIN_BLOCK", "1024")),
+            # BENCH_SPARSE=auto (default): the STLSQ fit leaves most
+            # coefficient columns exactly zero (7 of 55 features on
+            # this model); skip dead features inside the kernels. The
+            # model is fixed for the whole bench, so the static mask
+            # is sound. "off" keeps dense kernels.
+            feature_mask=(
+                tuple(
+                    int(k) for k in np.flatnonzero(
+                        np.any(np.abs(np.asarray(model.coeffs)) > 0, axis=0)
+                    )
+                )
+                if os.environ.get("BENCH_SPARSE", "auto") != "off"
+                and feature_spec is not None
+                else None
+            ),
             # One alpha-block per program (all 10 alphas as sublanes)
             # measured 8945 vs 8490 solves/s at the 5-alpha default.
             ls_block_l=int(os.environ.get("BENCH_LBLK", "10")),

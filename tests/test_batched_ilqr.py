@@ -361,3 +361,66 @@ def test_parse_schedule():
         parse_schedule("10:1.5")
     with pytest.raises(ValueError):
         parse_schedule("nonsense")
+
+
+def test_feature_mask_matches_dense(setup):
+    """Static feature sparsity (feature_mask) reproduces the dense
+    feature-spec solve — the masked-out columns are exactly zero on a
+    thresholded STLSQ fit, so filtering terms at trace time is a pure
+    reordering of the same math."""
+    b, model, cost, common = setup
+    coeffs = np.asarray(model.coeffs)
+    active = tuple(
+        int(k) for k in np.flatnonzero(np.any(np.abs(coeffs) > 0, axis=0))
+    )
+    assert 0 < len(active) < coeffs.shape[1]
+
+    dense = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan",
+        feature_spec=(model.library, "coeffs"), **common
+    )
+    masked = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan",
+        feature_spec=(model.library, "coeffs"),
+        feature_mask=active, **common
+    )
+    masked_bool = make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan",
+        feature_spec=(model.library, "coeffs"),
+        feature_mask=[k in active for k in range(coeffs.shape[1])],
+        **common
+    )
+    rng = np.random.default_rng(7)
+    B = 4
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 4)))
+    ug = jnp.zeros((B, common["H"], 1))
+    try:
+        out_d = jax.jit(dense)(model.params, x0s, ug)
+        out_m = jax.jit(masked)(model.params, x0s, ug)
+        out_mb = jax.jit(masked_bool)(model.params, x0s, ug)
+    except Exception as e:
+        msg = str(e).lower()
+        if ("pallas" in msg or "mosaic" in msg
+                or "interpret mode" in msg):
+            pytest.skip("pallas lowering unavailable on this backend")
+        raise
+    np.testing.assert_allclose(
+        np.asarray(out_m[2]), np.asarray(out_d[2]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mb[2]), np.asarray(out_m[2]), atol=1e-7
+    )
+
+
+def test_feature_mask_validation(setup):
+    b, model, cost, common = setup
+    with pytest.raises(ValueError, match="feature_mask needs"):
+        make_batched_ilqr_solver(
+            model.pred_core, cost, feature_mask=(0, 1), **common
+        )
+    with pytest.raises(ValueError, match="masks out every"):
+        make_batched_ilqr_solver(
+            model.pred_core, cost,
+            feature_spec=(model.library, "coeffs"),
+            feature_mask=[False] * model.library.n_features, **common
+        )

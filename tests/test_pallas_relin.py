@@ -132,6 +132,42 @@ def test_grad_terms_cross_and_poly():
     )
 
 
+def test_feature_masking_matches_dense(model):
+    """Filtering term fns/grads + slicing coefficient columns to the
+    active feature set (what make_batched_ilqr_solver's feature_mask
+    does before calling the kernels) reproduces the dense Jacobians
+    when the masked-out columns are exactly zero."""
+    rng = np.random.default_rng(6)
+    B, H = 4, 10
+    xs = jnp.asarray(rng.uniform(-2, 2, (B, H + 1, 4)))
+    us = jnp.asarray(rng.uniform(-5, 5, (B, H, 1)))
+    coeffs = np.asarray(model.coeffs)
+    active = tuple(
+        int(k) for k in np.flatnonzero(np.any(np.abs(coeffs) > 0, axis=0))
+    )
+    assert 0 < len(active) < coeffs.shape[1]
+    fns = tuple(model.library._fns)
+    gts = model.library.grad_terms
+
+    dense = pallas_feature_jacobians(
+        fns, xs, us, model.coeffs, grad_terms=gts,
+        block_b=B, interpret=True,
+    )
+    fns_a = tuple(fns[k] for k in active)
+    gts_a = tuple(gts[k] for k in active)
+    coeffs_a = model.coeffs[:, jnp.asarray(active)]
+    masked = pallas_feature_jacobians(
+        fns_a, xs, us, coeffs_a, grad_terms=gts_a,
+        block_b=B, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked[0]), np.asarray(dense[0]), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked[1]), np.asarray(dense[1]), rtol=1e-6, atol=1e-7
+    )
+
+
 def test_grad_terms_none_for_custom_terms():
     """Custom 2-tuple terms disable the sparse path."""
     lib = FeatureLibrary([("z0", lambda z: z[0])])

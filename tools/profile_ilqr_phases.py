@@ -243,34 +243,49 @@ def main():
     from autompc_tpu.utils.profiling import timeit_distinct
 
     reps = int(os.environ.get("PHASE_REPS", "20"))
-    epss = [(jnp.float32(i) * jnp.float32(1e-6),) for i in range(reps + 1)]
+    epss = [jnp.float32(i) * jnp.float32(1e-6) for i in range(reps + 1)]
     results = {}
 
-    def timed(name, fn):
+    def timed(name, fn, *big):
+        # Big operands must be ARGUMENTS (closed-over arrays become
+        # jaxpr constants and blow up the remote-compile request).
         results[name], _ = timeit_distinct(
-            jax.jit(fn), epss, name=name, silent=True
+            jax.jit(fn), [(e,) + big for e in epss], name=name,
+            silent=True,
         )
 
-    timed("expansions", lambda e: jexp({**carry, "xs": carry["xs"] + e}))
+    timed(
+        "expansions",
+        lambda e, c: jexp({**c, "xs": c["xs"] + e}),
+        carry,
+    )
     timed(
         "backward",
-        lambda e: jback(carry, Cxx, Cuu, cx + e, cu, Vn, vn),
+        lambda e, c, a, b, x, u, V, v: jback(c, a, b, x + e, u, V, v),
+        carry, Cxx, Cuu, cx, cu, Vn, vn,
     )
     timed(
         "linesearch",
-        lambda e: jls(carry, Ks, ks + e),
+        lambda e, c, K, k: jls(c, K, k + e),
+        carry, Ks, ks,
     )
     timed(
         "objective",
-        lambda e: jobj(carry, ls_xs, ls_us, lin_red + e, quad_red, ks),
+        lambda e, c, lx, lu, lr, qr, k: jobj(c, lx, lu, lr + e, qr, k),
+        carry, ls_xs, ls_us, lin_red, quad_red, ks,
     )
-    timed("relinearize", lambda e: jrel(new_xs + e, new_us))
-    timed("relin(analytic)", lambda e: jrel_an(new_xs + e, new_us))
-    timed("relin(pallas)", lambda e: jrel_pl(new_xs + e, new_us))
-    timed("relin(sparse)", lambda e: jrel_sp(new_xs + e, new_us))
+    timed("relinearize", lambda e, xs_, us_: jrel(xs_ + e, us_),
+          new_xs, new_us)
+    timed("relin(analytic)", lambda e, xs_, us_: jrel_an(xs_ + e, us_),
+          new_xs, new_us)
+    timed("relin(pallas)", lambda e, xs_, us_: jrel_pl(xs_ + e, us_),
+          new_xs, new_us)
+    timed("relin(sparse)", lambda e, xs_, us_: jrel_sp(xs_ + e, us_),
+          new_xs, new_us)
     timed(
         "body(full)",
-        lambda e: jbody({**carry, "xs": carry["xs"] + e}),
+        lambda e, c: jbody({**c, "xs": c["xs"] + e}),
+        carry,
     )
 
     phase_sum = sum(
