@@ -121,6 +121,20 @@ class QuadCostFanout:
                 ls_block_l=10,  # one alpha-block per program (bench-tuned)
                 quad_cost_batch=True, quad_goal=goal,
             )
+            if feature_spec is not None:
+                # The fan-out bakes model_params at construction (the
+                # whole design assumes one fixed model per instance),
+                # so static feature masking is sound here: skip the
+                # library terms whose coefficient columns the STLSQ
+                # threshold zeroed (see make_batched_ilqr_solver's
+                # feature_mask; 7 of 55 live on the cartpole model).
+                _, ckey = feature_spec
+                cnp = np.asarray(model_params[ckey])
+                live = np.flatnonzero(np.any(np.abs(cnp) > 0, axis=0))
+                if 0 < live.size < cnp.shape[1]:
+                    solver_kw["feature_mask"] = tuple(
+                        int(k) for k in live
+                    )
             if compact_schedule is not None:
                 if isinstance(compact_schedule, str):
                     from ..control.ilqr import parse_schedule
