@@ -76,10 +76,12 @@ def main():
             make_scheduled_ilqr_solver,
         )
 
-        # BENCH_LS: "pallas" (rollout kernel, default), "fused"
-        # (objective+acceptance inside the kernel too; a wash at this
-        # shape), "off" (XLA scan).
-        ls_mode = os.environ.get("BENCH_LS", "pallas")
+        # BENCH_LS: "fused" (objective+acceptance inside the kernel,
+        # only the selected trajectory reaches HBM — the default; wins
+        # once feature masking shrinks the rollout compute, 37.6k vs
+        # 33.0k solves/s), "pallas" (rollout kernel + XLA objective),
+        # "off" (XLA scan).
+        ls_mode = os.environ.get("BENCH_LS", "fused")
         feature_spec = (
             (model.library, "coeffs") if ls_mode in ("fused", "pallas")
             else None

@@ -61,11 +61,22 @@ def main():
         goal=jnp.zeros(4),
     )
     bounds = benchmark.task.get_ctrl_bounds()
+    # PHASE_SPARSE=off disables the static feature mask (bench.py's
+    # BENCH_SPARSE; 7 of 55 features live on this model).
+    if os.environ.get("PHASE_SPARSE", "auto") != "off":
+        active = tuple(
+            int(k) for k in np.flatnonzero(
+                np.any(np.abs(np.asarray(model.coeffs)) > 0, axis=0)
+            )
+        )
+    else:
+        active = None
     kw = dict(
         H=H, ds=4, dc=1, obsdim=4, dt=system.dt,
         ubounds=(bounds[:, 0], bounds[:, 1]),
         backward="pallas",
         feature_spec=(model.library, "coeffs"),
+        feature_mask=active,
         block_b=int(os.environ.get("BENCH_BLOCK", "128")),
         ls_block_l=int(os.environ.get("BENCH_LBLK", "10")),
         return_pieces=True,
@@ -98,6 +109,17 @@ def main():
     library = model.library
     alphas = 0.2 ** jnp.arange(10)
     umin, umax = bounds[:, 0], bounds[:, 1]
+
+    # Standalone phases use the same static feature filtering as the
+    # solver (control/ilqr.py feature_mask).
+    all_fns = tuple(library._fns)
+    all_gts = library.grad_terms
+    if active is not None:
+        ph_fns = tuple(all_fns[k] for k in active)
+        ph_gts = tuple(all_gts[k] for k in active)
+        ph_coeffs = params["coeffs"][:, jnp.asarray(active)]
+    else:
+        ph_fns, ph_gts, ph_coeffs = all_fns, all_gts, params["coeffs"]
 
     def expansions(c):
         xs, us = c["xs"], c["us"]
@@ -135,8 +157,8 @@ def main():
 
     def linesearch(c, Ks, ks):
         return pallas_sindy_line_search(
-            tuple(library._fns), c["x0s"], c["xs"], c["us"], Ks, ks,
-            params["coeffs"], alphas, umin, umax,
+            ph_fns, c["x0s"], c["xs"], c["us"], Ks, ks,
+            ph_coeffs, alphas, umin, umax,
             block_b=kw["block_b"] if B % kw["block_b"] == 0 else B,
             block_l=kw["ls_block_l"],
         )
@@ -212,7 +234,7 @@ def main():
 
     def relinearize_pallas(xs, us):
         return pallas_feature_jacobians(
-            tuple(library._fns), xs, us, params["coeffs"],
+            ph_fns, xs, us, ph_coeffs,
             block_b=kw["block_b"] if B % kw["block_b"] == 0 else B,
         )
 
@@ -224,8 +246,8 @@ def main():
 
     def relinearize_pallas_sparse(xs, us):
         return pallas_feature_jacobians(
-            tuple(library._fns), xs, us, params["coeffs"],
-            grad_terms=library.grad_terms,
+            ph_fns, xs, us, ph_coeffs,
+            grad_terms=ph_gts,
             block_b=kw["block_b"] if B % kw["block_b"] == 0 else B,
         )
 
