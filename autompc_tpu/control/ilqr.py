@@ -364,6 +364,40 @@ def make_batched_ilqr_solver(
         sel = jnp.asarray(active_idx, dtype=jnp.int32)
         return fns_a, gts_a, (lambda c: c[:, sel])
 
+    # Diagonal-quadratic costs let the Pallas backward kernel compute
+    # the stage expansions inline from (xs, us) — the whole expansions
+    # phase plus the (B, H, ds, ds) Cxx materialization disappears
+    # (ops/pallas_riccati.py:pallas_tvlqr_backward_quad).
+    if quad_cost_batch:
+        quad_backward = use_pallas
+        fixed_diag = None
+    else:
+        fixed_diag = None
+        if (
+            use_pallas
+            and cost is not None
+            and getattr(cost, "is_quad", False)
+            and hasattr(cost, "_Q")
+        ):
+            Qm = np.asarray(cost._Q)
+            Rm = np.asarray(cost._R)
+            Fm = np.asarray(cost._F)
+            if (
+                np.allclose(Qm, np.diag(np.diag(Qm)))
+                and np.allclose(Rm, np.diag(np.diag(Rm)))
+                and np.allclose(Fm, np.diag(np.diag(Fm)))
+            ):
+                g = getattr(cost, "_goal", None)
+                fixed_diag = (
+                    jnp.asarray(np.diag(Qm)),
+                    jnp.asarray(np.diag(Rm)),
+                    jnp.asarray(np.diag(Fm)),
+                    jnp.asarray(
+                        np.zeros(obsdim) if g is None else np.asarray(g)
+                    ),
+                )
+        quad_backward = fixed_diag is not None
+
     def relinearize_batch(params, xs, us):
         """(B, H+1, ds), (B, H, dc) -> Jx (B, H, ds, ds), Ju
         (B, H, ds, dc) at the first H points of every lane."""
@@ -556,11 +590,31 @@ def make_batched_ilqr_solver(
             cp = c["cost"]
             active = ~c["converged"] & ~c["failed"]
 
-            Vn, vn = jax.vmap(term_one)(xs[:, H], cp)
-            Cxx, Cuu, cx, cu = jax.vmap(expansions_one)(xs, us, cp)
-            if use_pallas:
+            if quad_backward:
+                from ..ops.pallas_riccati import pallas_tvlqr_backward_quad
+
+                if quad_cost_batch:
+                    Qd, Rd, Fd = cp["Qdiag"], cp["Rdiag"], cp["Fdiag"]
+                    goal_q = (
+                        jnp.zeros(obsdim) if quad_goal is None
+                        else jnp.asarray(quad_goal)
+                    )
+                else:
+                    qdf, rdf, fdf, goal_q = fixed_diag
+                    Qd = jnp.broadcast_to(qdf, (B, obsdim))
+                    Rd = jnp.broadcast_to(rdf, (B, dc))
+                    Fd = jnp.broadcast_to(fdf, (B, obsdim))
+                TB = min(block_b, B)
+                Ks, ks, lin_red, quad_red = pallas_tvlqr_backward_quad(
+                    c["Jx"], c["Ju"], xs, us, Qd, Rd, Fd, goal_q,
+                    dt, obsdim,
+                    block_b=TB if B % TB == 0 else B,
+                )
+            elif use_pallas:
                 from ..ops.pallas_riccati import pallas_tvlqr_backward
 
+                Vn, vn = jax.vmap(term_one)(xs[:, H], cp)
+                Cxx, Cuu, cx, cu = jax.vmap(expansions_one)(xs, us, cp)
                 # Pad batch to the kernel's block size.
                 TB = min(block_b, B)
                 Ks, ks, lin_red, quad_red = pallas_tvlqr_backward(
@@ -570,10 +624,14 @@ def make_batched_ilqr_solver(
             elif backward == "assoc":
                 from ..ops.riccati import tvlqr_backward_assoc
 
+                Vn, vn = jax.vmap(term_one)(xs[:, H], cp)
+                Cxx, Cuu, cx, cu = jax.vmap(expansions_one)(xs, us, cp)
                 Ks, ks, lin_red, quad_red = jax.vmap(tvlqr_backward_assoc)(
                     c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn
                 )
             else:
+                Vn, vn = jax.vmap(term_one)(xs[:, H], cp)
+                Cxx, Cuu, cx, cu = jax.vmap(expansions_one)(xs, us, cp)
                 Ks, ks, lin_red, quad_red = jax.vmap(
                     lambda *a: tvlqr_backward_scan(*a, unroll=unroll)
                 )(c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn)

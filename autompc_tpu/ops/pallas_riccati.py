@@ -123,6 +123,216 @@ def _backward_kernel(ds, H, jx_ref, ju_ref, cxx_ref, cuu_ref, cx_ref,
     quad_out_ref[0] = quad
 
 
+def _backward_quad_kernel(ds, obsdim, H, dt,
+                          jx_ref, ju_ref, xs_ref, us_ref,
+                          qd_ref, rd_ref, fd_ref, goal_ref,
+                          ks_out_ref, kv_out_ref, lin_out_ref,
+                          quad_out_ref):
+    """Backward recursion with the diagonal-quadratic cost expansions
+    computed INLINE from the trajectory (lanes last, dc=1 squeezed):
+    jx (H, ds, ds, TB), ju (H, ds, TB), xs (H+1, ds, TB), us (H, TB),
+    qd/fd (obsdim, TB), rd (1, TB), goal (obsdim, 1) [SMEM].
+
+    Replaces the separate expansions phase + the (B, H, ds, ds) Cxx /
+    (B, H, ds) cx / Cuu / cu materialization and their lanes-last
+    transposes: the stage expansions of the QuadCost fast paths
+    (costs/cost.py:62-141 — value (x-g)'Q(x-g), gradient 2Q(x-g),
+    hessian 2Q, dt-scaled per ilqr.py:165-187) are a handful of
+    per-lane multiplies once Q/R/F are diagonal."""
+    TB = jx_ref.shape[-1]
+
+    def stack2(rows):
+        return jnp.stack([jnp.stack(r) for r in rows])
+
+    qd = [qd_ref[i] * (2.0 * dt) for i in range(obsdim)]   # (TB,)
+    rd2 = rd_ref[0] * (2.0 * dt)
+    goal = [goal_ref[i, 0] for i in range(obsdim)]
+
+    def cx_at(t):
+        # 2 Q (x - g) dt on the obs dims, zero beyond.
+        out = []
+        for i in range(ds):
+            if i < obsdim:
+                out.append(qd[i] * (xs_ref[t, i] - goal[i]))
+            else:
+                out.append(jnp.zeros((TB,), dtype=qd[0].dtype))
+        return out
+
+    def body(i, carry):
+        t = H - 1 - i
+        V, v, lin, quad = carry
+        Jx = jx_ref[t]
+        Ju = ju_ref[t]
+        cx = cx_at(t)
+        cu = rd2 * us_ref[t]
+
+        JuV = [
+            sum(Ju[k] * V[k, j] for k in range(ds)) for j in range(ds)
+        ]
+        Quu = rd2 + sum(JuV[k] * Ju[k] for k in range(ds))
+        inv_quu = 1.0 / Quu
+        Qux = [
+            sum(JuV[k] * Jx[k, j] for k in range(ds)) for j in range(ds)
+        ]
+        qu = cu + sum(Ju[k] * v[k] for k in range(ds))
+        K = [-Qux[j] * inv_quu for j in range(ds)]
+        kff = -qu * inv_quu
+
+        lin = lin + qu * kff
+        quad = quad + kff * Quu * kff
+
+        JxV = [
+            [sum(Jx[k, i_] * V[k, j] for k in range(ds)) for j in range(ds)]
+            for i_ in range(ds)
+        ]
+        # Qxx = diag(2 Q dt) + Jx' V Jx (the stage hessian is the
+        # constant diagonal, folded into the diagonal entries).
+        Qxx = [
+            [
+                sum(JxV[i_][k] * Jx[k, j] for k in range(ds))
+                + ((qd[i_] if i_ < obsdim else 0.0) if i_ == j else 0.0)
+                for j in range(ds)
+            ]
+            for i_ in range(ds)
+        ]
+        qx = [
+            cx[i_] + sum(Jx[k, i_] * v[k] for k in range(ds))
+            for i_ in range(ds)
+        ]
+        V_new = stack2(
+            [
+                [
+                    Qxx[i_][j]
+                    + Qux[i_] * K[j]
+                    + K[i_] * Qux[j]
+                    + K[i_] * K[j] * Quu
+                    for j in range(ds)
+                ]
+                for i_ in range(ds)
+            ]
+        )
+        resid = qu + Quu * kff
+        v_new = jnp.stack(
+            [qx[i_] + Qux[i_] * kff + K[i_] * resid for i_ in range(ds)]
+        )
+
+        ks_out_ref[t] = jnp.stack(K)
+        kv_out_ref[t] = kff
+        return V_new, v_new, lin, quad
+
+    # Terminal expansion: Vn = diag(2 F), vn = 2 F (x_H - g).
+    fd2 = [fd_ref[i] * 2.0 for i in range(obsdim)]
+    zero = jnp.zeros((TB,), dtype=fd2[0].dtype)
+    V0 = stack2(
+        [
+            [
+                (fd2[i] if (i == j and i < obsdim) else zero)
+                for j in range(ds)
+            ]
+            for i in range(ds)
+        ]
+    )
+    v0 = jnp.stack(
+        [
+            fd2[i] * (xs_ref[H, i] - goal[i]) if i < obsdim else zero
+            for i in range(ds)
+        ]
+    )
+    V, v, lin, quad = jax.lax.fori_loop(
+        0, H, body, (V0, v0, zero, zero)
+    )
+    lin_out_ref[0] = lin
+    quad_out_ref[0] = quad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "obsdim", "block_b", "interpret"),
+)
+def pallas_tvlqr_backward_quad(
+    Jx, Ju, xs, us, Qdiag, Rdiag, Fdiag, goal, dt, obsdim,
+    block_b: int = 128, interpret: bool = False,
+):
+    """Batched backward pass with inline diagonal-quadratic expansions;
+    dc must be 1.
+
+    Parameters: Jx (B, H, ds, ds), Ju (B, H, ds, 1), xs (B, H+1, ds),
+    us (B, H, 1), Qdiag/Fdiag (B, obsdim), Rdiag (B, 1),
+    goal (obsdim,); dt and obsdim static.
+
+    Returns (Ks (B, H, 1, ds), ks (B, H, 1), lin_red (B,), quad_red
+    (B,)) matching ``pallas_tvlqr_backward`` fed the QuadCost stage
+    expansions (tests pin this). Fixed-cost callers broadcast their
+    diagonals to (B, ...) — 1 KB/lane, nothing vs the (B, H, ds, ds)
+    Cxx array this kernel replaces.
+    """
+    B, H, ds, _ = Jx.shape
+    if Ju.shape[-1] != 1:
+        raise ValueError("pallas_tvlqr_backward_quad is dc=1 only")
+    TB = min(block_b, B)
+    if B % TB != 0:
+        raise ValueError(f"batch {B} must be divisible by block {TB}")
+
+    jx = jnp.transpose(Jx, (1, 2, 3, 0))           # (H, ds, ds, B)
+    ju = jnp.transpose(Ju[..., 0], (1, 2, 0))      # (H, ds, B)
+    xsT = jnp.transpose(xs, (1, 2, 0))             # (H+1, ds, B)
+    usT = jnp.transpose(us[..., 0], (1, 0))        # (H, B)
+    qdT = jnp.transpose(Qdiag, (1, 0))             # (obsdim, B)
+    rdT = jnp.transpose(Rdiag, (1, 0))             # (1, B)
+    fdT = jnp.transpose(Fdiag, (1, 0))
+    goal2 = jnp.asarray(goal, dtype=Jx.dtype).reshape(obsdim, 1)
+
+    kernel = functools.partial(
+        _backward_quad_kernel, ds, obsdim, H, float(dt)
+    )
+    grid = (B // TB,)
+
+    def bspec(shape_prefix):
+        ndim = len(shape_prefix)
+        return pl.BlockSpec(
+            shape_prefix + (TB,),
+            lambda i, nd=ndim: (0,) * nd + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shape = (
+        jax.ShapeDtypeStruct((H, ds, B), Jx.dtype),
+        jax.ShapeDtypeStruct((H, B), Jx.dtype),
+        jax.ShapeDtypeStruct((1, B), Jx.dtype),
+        jax.ShapeDtypeStruct((1, B), Jx.dtype),
+    )
+    ksT, kvT, linT, quadT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            bspec((H, ds, ds)),
+            bspec((H, ds)),
+            bspec((H + 1, ds)),
+            bspec((H,)),
+            bspec((obsdim,)),
+            bspec((1,)),
+            bspec((obsdim,)),
+            pl.BlockSpec(
+                (obsdim, 1), lambda i: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=(
+            bspec((H, ds)),
+            bspec((H,)),
+            bspec((1,)),
+            bspec((1,)),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jx, ju, xsT, usT, qdT.astype(Jx.dtype), rdT.astype(Jx.dtype),
+      fdT.astype(Jx.dtype), goal2)
+
+    Ks = jnp.transpose(ksT, (2, 0, 1))[:, :, None, :]
+    ks = jnp.transpose(kvT, (1, 0))[:, :, None]
+    return Ks, ks, linT[0], quadT[0]
+
+
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
 def pallas_tvlqr_backward(Jx, Ju, Cxx, Cuu, cx, cu, Vn, vn,
                           block_b: int = 128, interpret: bool = False):

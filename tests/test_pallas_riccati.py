@@ -57,3 +57,65 @@ def test_rejects_multi_ctrl():
             jnp.zeros((4, 3, 3)), jnp.zeros((4, 3)),
             interpret=True,
         )
+
+
+def test_quad_backward_matches_explicit_expansions():
+    """pallas_tvlqr_backward_quad (inline diagonal-quadratic stage
+    expansions) vs tvlqr_backward_scan fed the explicit QuadCost
+    expansions (value (x-g)'Q(x-g), grad 2Q(x-g), hess 2Q, dt-scaled:
+    reference autompc/control/ilqr.py:165-187, costs/cost.py:62-141),
+    with per-lane diagonals and ds > obsdim padding."""
+    from autompc_tpu.ops.pallas_riccati import pallas_tvlqr_backward_quad
+
+    rng = np.random.default_rng(3)
+    B, H, ds, obsdim, dt = 8, 9, 5, 4, 0.05
+    dtype = jnp.float64
+    Jx = jnp.asarray(rng.normal(size=(B, H, ds, ds)) * 0.3, dtype)
+    Ju = jnp.asarray(rng.normal(size=(B, H, ds, 1)), dtype)
+    xs = jnp.asarray(rng.normal(size=(B, H + 1, ds)), dtype)
+    us = jnp.asarray(rng.normal(size=(B, H, 1)), dtype)
+    Qd = jnp.asarray(rng.uniform(0.1, 5.0, (B, obsdim)), dtype)
+    Rd = jnp.asarray(rng.uniform(0.01, 1.0, (B, 1)), dtype)
+    Fd = jnp.asarray(rng.uniform(0.1, 5.0, (B, obsdim)), dtype)
+    goal = jnp.asarray(rng.normal(size=(obsdim,)), dtype)
+
+    Ks_q, ks_q, lin_q, quad_q = pallas_tvlqr_backward_quad(
+        Jx, Ju, xs, us, Qd, Rd, Fd, goal, dt, obsdim,
+        block_b=B, interpret=True,
+    )
+
+    def expansions(b):
+        dx = xs[b, :H, :obsdim] - goal
+        cx = jnp.zeros((H, ds)).at[:, :obsdim].set(
+            2.0 * dx * Qd[b][None, :] * dt
+        )
+        oi = jnp.arange(obsdim)
+        Cxx = jnp.zeros((H, ds, ds)).at[:, oi, oi].set(
+            jnp.broadcast_to(2.0 * Qd[b] * dt, (H, obsdim))
+        )
+        Cuu = jnp.broadcast_to(
+            (2.0 * Rd[b] * dt)[None, :, None], (H, 1, 1)
+        )
+        cu = 2.0 * us[b] * Rd[b][None, :] * dt
+        dxt = xs[b, H, :obsdim] - goal
+        Vn = jnp.zeros((ds, ds)).at[oi, oi].set(2.0 * Fd[b])
+        vn = jnp.zeros(ds).at[:obsdim].set(2.0 * Fd[b] * dxt)
+        return Cxx, Cuu, cx, cu, Vn, vn
+
+    for b in range(B):
+        Cxx, Cuu, cx, cu, Vn, vn = expansions(b)
+        Ks_s, ks_s, lin_s, quad_s = tvlqr_backward_scan(
+            Jx[b], Ju[b], Cxx, Cuu, cx, cu, Vn, vn
+        )
+        np.testing.assert_allclose(
+            np.asarray(Ks_q[b]), np.asarray(Ks_s), rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(ks_q[b]), np.asarray(ks_s), rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(lin_q[b]), np.asarray(lin_s), rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(quad_q[b]), np.asarray(quad_s), rtol=1e-9, atol=1e-12
+        )
