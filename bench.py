@@ -125,11 +125,15 @@ def main():
         if os.environ.get("BENCH_SCHED", "on") != "off":
             from autompc_tpu.control.ilqr import parse_schedule
 
-            # Measured best at B=16384 (done-fraction ~66% by iter 20,
-            # ~90% by 38; fracs are relative to the original batch):
-            # 8490 solves/s vs 7595 for the solver's generic default.
+            # Re-tuned after the kernel work made the body ~4x faster
+            # (wasted converged-lane iterations now dominate): 4 cuts
+            # measured 41198 vs 38565 solves/s for the previous
+            # 2-cut schedule; earlier first cuts (6:0.75) trip the
+            # overflow branch and collapse to 27k.
             schedule = parse_schedule(
-                os.environ.get("BENCH_SCHEDULE", "20:0.5,38:0.125")
+                os.environ.get(
+                    "BENCH_SCHEDULE", "10:0.75,20:0.5,30:0.25,40:0.125"
+                )
             )
             if schedule:
                 solver_kw["schedule"] = schedule
