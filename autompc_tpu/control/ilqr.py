@@ -644,21 +644,31 @@ def make_batched_ilqr_solver(
             ls_umax = (
                 umax if ubounds is not None else jnp.full((dc,), jnp.inf)
             )
+            fused_jac = None
             if feature_spec is not None and fuse_ls and cost.is_quad:
                 from ..ops.pallas_linesearch import pallas_fused_line_search
 
                 library, coeffs_key = feature_spec
                 TB = min(block_b, B)
-                fns_a, _, sel = _active_terms(library)
-                (new_xs, new_us, new_obj, ls_success,
-                 failed_now) = pallas_fused_line_search(
+                fns_a, gts_a, sel = _active_terms(library)
+                # Fuse the relinearization into the selected-alpha
+                # re-roll whenever the library has sparse analytic term
+                # gradients (and the solver isn't pinned to relin="xla")
+                # — deletes the separate relin dispatch from the body.
+                fuse_relin = gts_a is not None and use_pallas_relin
+                outs = pallas_fused_line_search(
                     fns_a, x0s, xs, us, Ks, ks,
                     sel(params[coeffs_key]), alphas, ls_umin, ls_umax,
                     cost._Q, cost._R, cost._F, cost._goal, dt,
                     c["obj"], lin_red, quad_red, ks_small,
+                    grad_terms=gts_a if fuse_relin else None,
                     ls_cost_threshold=ls_cost_threshold,
                     block_b=TB if B % TB == 0 else B,
                 )
+                (new_xs, new_us, new_obj, ls_success,
+                 failed_now) = outs[:5]
+                if fuse_relin:
+                    fused_jac = outs[5:]
             else:
                 if feature_spec is not None:
                     from ..ops.pallas_linesearch import (
@@ -719,7 +729,10 @@ def make_batched_ilqr_solver(
                 new_us = take(ls_us, sel)
                 new_obj = jnp.where(ls_success, best_obj, last_obj)
 
-            Jx_lin, Ju_lin = relinearize_batch(params, new_xs, new_us)
+            if fused_jac is not None:
+                Jx_lin, Ju_lin = fused_jac
+            else:
+                Jx_lin, Ju_lin = relinearize_batch(params, new_xs, new_us)
             succ = ls_success[:, None, None, None]
             Jx_new = jnp.where(succ, Jx_lin, c["Jx"])
             Ju_new = jnp.where(succ, Ju_lin, c["Ju"])

@@ -227,13 +227,14 @@ def _tree_sum(vals):
     return vals[0]
 
 
-def _fused_kernel(term_fns, ds, dc, obsdim, H, L, dt, ls_thresh,
+def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
+                  ls_thresh,
                   x0_ref, xs_ref, us_ref, Ks_ref, ks_ref, coeffs_ref,
                   alphas_ref, umin_ref, umax_ref,
                   Q_ref, R_ref, F_ref, goal_ref,
                   obj0_ref, lin_ref, quad_ref, kssmall_ref,
                   out_xs_ref, out_us_ref, out_obj_ref, out_succ_ref,
-                  out_fail_ref):
+                  out_fail_ref, jac_ref=None):
     """One batch block; ALL alphas live in this program as sublanes.
 
     Pass 1 rolls all L candidate step sizes, accumulating the quadratic
@@ -243,6 +244,14 @@ def _fused_kernel(term_fns, ds, dc, obsdim, H, L, dt, ls_thresh,
     the 0.3 expected-reduction test, else the objective argmin, with the
     worsens-by->1e-3 failure case) then runs on (L, TB) slabs, and pass
     2 re-rolls only the selected alpha to emit the accepted trajectory.
+
+    When ``grad_terms`` is given (sparse analytic term gradients,
+    FeatureLibrary.grad_terms), pass 2 ALSO emits the dynamics Jacobians
+    ``coeffs @ dTheta/dz`` at every step of the selected trajectory into
+    ``jac_ref`` (H, ds, ds+dc, TB) — the relinearization phase of the
+    iLQR body fused into the re-roll that already has (x_t, u_t) in
+    registers (same math as ops/pallas_relin.py's sparse path, minus its
+    separate dispatch and its HBM re-read of the accepted trajectory).
     """
     TB = x0_ref.shape[-1]
     F_feat = coeffs_ref.shape[1]
@@ -372,6 +381,8 @@ def _fused_kernel(term_fns, ds, dc, obsdim, H, L, dt, ls_thresh,
     for i in range(ds):
         out_xs_ref[0, i] = x2[i][0]
 
+    d = ds + dc
+
     def body2(t, x_tuple):
         x2 = list(x_tuple)
         xbar = [xs_ref[t, i][None, :] for i in range(ds)]
@@ -385,6 +396,25 @@ def _fused_kernel(term_fns, ds, dc, obsdim, H, L, dt, ls_thresh,
             out_xs_ref[t + 1, i] = x_new[i][0]
         for j in range(dc):
             out_us_ref[t, j] = u[j][0]
+        if grad_terms is not None:
+            # Fused relinearization: Jacobian at (x_t, u_t) — the slabs
+            # are already in registers; only terms with a nonzero
+            # partial w.r.t. each component are evaluated (same sparse
+            # formulation as ops/pallas_relin.py).
+            z = _VecZ(x2 + u)
+            for dd in range(d):
+                slabs = [
+                    (k, gfn(z))
+                    for k, entries in enumerate(grad_terms)
+                    for (ci, gfn) in entries
+                    if ci == dd
+                ]
+                for i in range(ds):
+                    vals = [coeffs_ref[i, k] * g for k, g in slabs]
+                    total = _tree_sum(vals) if vals else 0.0
+                    jac_ref[t, i, dd] = jnp.broadcast_to(
+                        jnp.asarray(total, x2[0].dtype), x2[0].shape
+                    )[0]
         return tuple(x_new)
 
     jax.lax.fori_loop(0, H, body2, tuple(x2))
@@ -393,12 +423,14 @@ def _fused_kernel(term_fns, ds, dc, obsdim, H, L, dt, ls_thresh,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "term_fns", "dt", "ls_cost_threshold", "block_b", "interpret",
+        "term_fns", "grad_terms", "dt", "ls_cost_threshold", "block_b",
+        "interpret",
     ),
 )
 def pallas_fused_line_search(
     term_fns, x0, xs, us, Ks, ks, coeffs, alphas, umin, umax,
     Q, R, F, goal, dt, obj0, lin_red, quad_red, ks_small,
+    grad_terms=None,
     ls_cost_threshold: float = 0.3,
     block_b: int = 128, interpret: bool = False,
 ):
@@ -414,8 +446,15 @@ def pallas_fused_line_search(
     objective and expected-reduction coefficients from the backward
     pass; ks_small (B,) bool — the ||k|| < tol fast-accept flag.
 
+    ``grad_terms`` (optional, FeatureLibrary.grad_terms): fuse the
+    relinearization into the selected-alpha re-roll — the Jacobians of
+    the dynamics along the accepted trajectory come back as two extra
+    outputs, eliminating the separate relinearization kernel dispatch
+    from the iLQR body.
+
     Returns (new_xs (B, H+1, ds), new_us (B, H, dc), new_obj (B,),
-    ls_success (B,) bool, failed (B,) bool).
+    ls_success (B,) bool, failed (B,) bool)
+    [+ (Jx (B, H, ds, ds), Ju (B, H, ds, dc)) when grad_terms is given].
     """
     B, Hp1, ds = xs.shape
     H = Hp1 - 1
@@ -443,7 +482,7 @@ def pallas_fused_line_search(
     row = lambda a: a[None, :].astype(dtype)  # (1, B) lanes-last
 
     kernel = functools.partial(
-        _fused_kernel, term_fns, ds, dc, obsdim, H, L,
+        _fused_kernel, term_fns, grad_terms, ds, dc, obsdim, H, L,
         float(dt), float(ls_cost_threshold),
     )
     grid = (B // TB,)
@@ -459,7 +498,26 @@ def pallas_fused_line_search(
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.SMEM)
 
-    out_xsT, out_usT, objT, succT, failT = pl.pallas_call(
+    out_specs = [
+        vspec((H + 1, ds)),
+        vspec((H, dc)),
+        vspec((1,)),
+        vspec((1,)),
+        vspec((1,)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((H + 1, ds, B), dtype),
+        jax.ShapeDtypeStruct((H, dc, B), dtype),
+        jax.ShapeDtypeStruct((1, B), dtype),
+        jax.ShapeDtypeStruct((1, B), dtype),
+        jax.ShapeDtypeStruct((1, B), dtype),
+    ]
+    if grad_terms is not None:
+        d = ds + dc
+        out_specs.append(vspec((H, ds, d)))
+        out_shape.append(jax.ShapeDtypeStruct((H, ds, d, B), dtype))
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -471,20 +529,8 @@ def pallas_fused_line_search(
             sspec((obsdim, obsdim)), sspec((obsdim, 1)),
             vspec((1,)), vspec((1,)), vspec((1,)), vspec((1,)),
         ],
-        out_specs=(
-            vspec((H + 1, ds)),
-            vspec((H, dc)),
-            vspec((1,)),
-            vspec((1,)),
-            vspec((1,)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((H + 1, ds, B), dtype),
-            jax.ShapeDtypeStruct((H, dc, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(x0T, xsT, usT, KsT, ksT, coeffs.astype(dtype), alphas2,
       umin2, umax2,
@@ -493,9 +539,14 @@ def pallas_fused_line_search(
       row(obj0), row(lin_red), row(quad_red),
       row(ks_small.astype(dtype)))
 
+    out_xsT, out_usT, objT, succT, failT = outs[:5]
     new_xs = jnp.transpose(out_xsT, (2, 0, 1))         # (B, H+1, ds)
     new_us = jnp.transpose(out_usT, (2, 0, 1))         # (B, H, dc)
-    return (
+    base = (
         new_xs, new_us, objT[0],
         succT[0] > 0.5, failT[0] > 0.5,
     )
+    if grad_terms is None:
+        return base
+    jac = jnp.transpose(outs[5], (3, 0, 1, 2))         # (B, H, ds, d)
+    return base + (jac[..., :ds], jac[..., ds:])
