@@ -4,3 +4,4 @@ from .zero import ZeroController, ZeroControllerFactory
 from .ilqr import IterativeLQR, IterativeLQRFactory
 from .mppi import MPPI, MPPIFactory
 from .nmpc import DirectTranscriptionController, DirectTranscriptionControllerFactory
+from .receding import make_receding_ilqr_loop

@@ -128,7 +128,12 @@ def pallas_sindy_line_search(
     term_fns : tuple of scalar term functions (FeatureLibrary._fns) —
         static (hashable) so each library compiles its own kernel
     x0 : (B, ds), xs : (B, H+1, ds), us : (B, H, dc),
-    Ks : (B, H, dc, ds), ks : (B, H, dc), coeffs : (ds, F),
+    Ks : (B, H, dc, ds), ks : (B, H, dc),
+    coeffs : (ds, F) shared across lanes, or (B, ds, F) PER-LANE
+        coefficients (the joint tuning fan-out trains one model per
+        candidate lane; per-lane coeffs ride VMEM lanes-last instead of
+        SMEM — the kernel body is identical, each (i, k) read is a
+        (TB,) lane vector instead of a scalar),
     alphas : (L,), umin/umax : scalars or (dc,) vectors
     block_b : lanes per program (TPU requires a multiple of 128 or the
         full batch)
@@ -174,13 +179,21 @@ def pallas_sindy_line_search(
         return pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
                             memory_space=pltpu.SMEM)
 
+    if coeffs.ndim == 3:
+        # Per-lane coefficients: lanes-last (ds, F, B) VMEM blocks.
+        coeffs_in = jnp.transpose(coeffs, (1, 2, 0)).astype(xs.dtype)
+        coeffs_spec = vspec(coeffs.shape[1:])
+    else:
+        coeffs_in = coeffs.astype(xs.dtype)
+        coeffs_spec = sspec(coeffs.shape)
+
     out_xsT, out_usT = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             vspec((ds,)), vspec((H, ds)), vspec((H, dc)),
             vspec((H, dc, ds)), vspec((H, dc)),
-            sspec(coeffs.shape), sspec((L, 1)),
+            coeffs_spec, sspec((L, 1)),
             sspec((dc, 1)), sspec((dc, 1)),
         ],
         out_specs=(

@@ -183,6 +183,65 @@ def main():
     )
 
     solves_per_s = B * reps / elapsed
+
+    # ----- Quality gate (VERDICT round 1, item 3) --------------------
+    # The headline counts open-loop solves; a perf "win" that degraded
+    # solution quality would still look like a win. Gate it with the
+    # receding-horizon closed loop — the deployment shape: 200 MPC
+    # steps (H=20, the reference default horizon, recompute every
+    # step) against the TRUE cartpole dynamics, one device dispatch
+    # for the whole episode batch (control/receding.py). Reported:
+    # swing-up success rate (final |theta|,|omega| < the benchmark's
+    # 0.2 threshold) and mean task cost (the reference ThresholdCost
+    # metric: steps with max|obs[0:3] - goal| > 0.2,
+    # autompc/costs/thresh_cost.py:27-32, cartpole.py:51).
+    quality = {
+        "open_loop_converged_frac": round(float(conv.mean()), 4),
+        "open_loop_median_final_theta_rad": round(
+            float(np.median(final_theta)), 4
+        ),
+    }
+    if os.environ.get("BENCH_QUALITY", "on") != "off":
+        from autompc_tpu.control.receding import make_receding_ilqr_loop
+
+        Bq = int(os.environ.get("BENCH_QUALITY_B", "256"))
+        n_steps = 200
+        run_cl = jax.jit(
+            make_receding_ilqr_loop(
+                model.pred_core, cost, benchmark.dynamics,
+                H=20, ds=4, dc=1, obsdim=4, dt=system.dt,
+                n_steps=n_steps, ubounds=(bounds[:, 0], bounds[:, 1]),
+            )
+        )
+        x0q = jnp.asarray(
+            rng.uniform(-1, 1, (Bq, 4)) * np.array([3.1, 1.0, 1.0, 1.0]),
+            dtype=x0s.dtype,
+        )
+        t0 = time.perf_counter()
+        xs_cl, us_cl, nconv = run_cl(params, x0q)
+        jax.block_until_ready(xs_cl)
+        t_cl = time.perf_counter() - t0
+        fx = np.asarray(xs_cl)
+        success = (np.abs(fx[:, -1, 0]) < 0.2) & (np.abs(fx[:, -1, 1]) < 0.2)
+        task_cost = np.sum(
+            np.max(np.abs(fx[:, 1:, 0:3]), axis=-1) > 0.2, axis=1
+        )
+        quality.update(
+            closed_loop_success_rate=round(float(success.mean()), 4),
+            closed_loop_mean_task_cost=round(float(task_cost.mean()), 2),
+            closed_loop_solver_converged_frac=round(
+                float(np.asarray(nconv).mean() / n_steps), 4
+            ),
+            closed_loop_lanes=Bq,
+        )
+        print(
+            f"[bench] closed-loop quality (B={Bq}, 200 MPC steps, "
+            f"{t_cl:.1f}s incl. compile): "
+            f"{success.mean() * 100:.1f}% swing-up success, "
+            f"mean task cost {task_cost.mean():.1f}",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
@@ -190,6 +249,7 @@ def main():
                 "value": round(solves_per_s, 2),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / 1000.0, 3),
+                "quality": quality,
             }
         )
     )
@@ -204,7 +264,7 @@ def _watchdog():
     either way."""
     import subprocess
 
-    deadline = float(os.environ.get("BENCH_DEADLINE", "720"))
+    deadline = float(os.environ.get("BENCH_DEADLINE", "900"))
     env = dict(os.environ)
     try:
         r = subprocess.run(

@@ -100,6 +100,44 @@ def main():
         }
     )
 
+    # --- iLQR per-MPC-step latency, DEVICE-RESIDENT closed loop -----
+    # The host-loop number above is tunnel-dominated (~25 ms dispatch
+    # round-trip per step; PERF.md). The deployment shape runs the
+    # whole episode as one device program (control/receding.py): 200
+    # MPC steps in one dispatch, so per-step cost is compute, not
+    # transport — the honest check against the dt=0.05 budget.
+    from autompc_tpu.control.receding import make_receding_ilqr_loop
+
+    n_steps = 200
+    run_cl = jax.jit(
+        make_receding_ilqr_loop(
+            model.pred_core, task.get_cost(), benchmark.dynamics,
+            H=20, ds=4, dc=1, obsdim=4, dt=system.dt,
+            n_steps=n_steps,
+            ubounds=(
+                task.get_ctrl_bounds()[:, 0], task.get_ctrl_bounds()[:, 1]
+            ),
+        )
+    )
+    x0_cl = jnp.asarray(benchmark.task.get_init_obs())[None, :]
+    out = run_cl(model.params, x0_cl)  # compile
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = run_cl(model.params, x0_cl)
+        jax.block_until_ready(out)
+    lat = (time.perf_counter() - start) / reps / n_steps
+    results.append(
+        {
+            "metric": "ilqr_closed_loop_per_step_latency_device_resident_ms",
+            "mpc_steps_per_dispatch": n_steps,
+            "value": round(lat * 1e3, 3),
+            "unit": "ms",
+            "within_dt_budget": lat < system.dt,
+        }
+    )
+
     # --- DirectTranscription per-MPC-step latency ------------------
     dt_con = DirectTranscriptionController(system, task, model, horizon=1)
     lat = step_latency(dt_con, reps=10)

@@ -1,0 +1,309 @@
+"""Parity against the ACTUAL reference implementation, imported from
+/root/reference and executed.
+
+Round-1 parity tests (test_sindy_ilqr.py) pin our solvers to an in-repo
+numpy rederivation of the reference iteration — written by the same
+author from the same reading of the reference, so a shared misreading
+would pass. These tests kill that risk: the reference's
+``control/ilqr.py`` and ``control/lqr.py`` are numpy-only (their
+ConfigSpace import is stubbed; nothing else from the reference package
+is loaded), so we run ``IterativeLQR.compute_ilqr`` and
+``_finite_horz_dt_lqr`` directly on duck-typed model/cost shims that
+wrap OUR jax dynamics and cost evaluations, and assert trajectory-level
+agreement with our solvers at float64.
+
+Both solvers consume the exact same dynamics (one jitted jax function)
+and the exact same cost evaluations (our QuadCost), so any disagreement
+is purely solver logic — the thing being verified.
+
+Reference entry points exercised:
+- autompc/control/ilqr.py:100-265 (compute_ilqr_default)
+- autompc/control/lqr.py:35-47 (_finite_horz_dt_lqr)
+"""
+
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from autompc_tpu.benchmarks.cartpole import dt_cartpole_dynamics
+from autompc_tpu.control.ilqr import make_ilqr_solver
+from autompc_tpu.core import System
+from autompc_tpu.costs import QuadCost
+from autompc_tpu.ops.riccati import finite_horizon_lqr
+
+REF_CONTROL = "/root/reference/autompc/control"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_CONTROL), reason="reference checkout not present"
+)
+
+
+def _stub_configspace():
+    """The reference imports ConfigSpace at module scope but the parity
+    path never touches configuration spaces; stub just enough."""
+    if "ConfigSpace" in sys.modules:
+        return
+
+    class _Placeholder:
+        def __init__(self, *args, **kwargs):
+            pass
+
+        def add_hyperparameter(self, *args, **kwargs):
+            pass
+
+        def add_hyperparameters(self, *args, **kwargs):
+            pass
+
+        def add_condition(self, *args, **kwargs):
+            pass
+
+    cs = types.ModuleType("ConfigSpace")
+    hp = types.ModuleType("ConfigSpace.hyperparameters")
+    cond = types.ModuleType("ConfigSpace.conditions")
+    for name in (
+        "ConfigurationSpace",
+        "Configuration",
+        "UniformIntegerHyperparameter",
+        "UniformFloatHyperparameter",
+        "CategoricalHyperparameter",
+        "Constant",
+    ):
+        setattr(cs, name, _Placeholder)
+        setattr(hp, name, _Placeholder)
+    for name in ("InCondition", "EqualsCondition", "AndConjunction"):
+        setattr(cond, name, _Placeholder)
+    cs.hyperparameters = hp
+    cs.conditions = cond
+    sys.modules["ConfigSpace"] = cs
+    sys.modules["ConfigSpace.hyperparameters"] = hp
+    sys.modules["ConfigSpace.conditions"] = cond
+
+
+def _load_ref_control(modname):
+    """Import /root/reference/autompc/control/<modname> as a submodule
+    of a synthetic package so its relative imports resolve without
+    executing the reference package __init__ (which pulls torch/smac)."""
+    _stub_configspace()
+    if "refcontrol" not in sys.modules:
+        pkg = types.ModuleType("refcontrol")
+        pkg.__path__ = [REF_CONTROL]
+        sys.modules["refcontrol"] = pkg
+    return importlib.import_module(f"refcontrol.{modname}")
+
+
+# ---------------------------------------------------------------------
+# Duck-typed shims: numpy-facing wrappers around OUR jax dynamics/cost,
+# implementing exactly the methods the reference solver calls.
+# ---------------------------------------------------------------------
+
+
+class _RefModelShim:
+    """Implements the reference Model surface consumed by
+    compute_ilqr_default: state_dim, pred_diff, pred_batch,
+    pred_diff_batch (reference sysid/model.py:92-184)."""
+
+    def __init__(self, step_fn, ds):
+        self.state_dim = ds
+        self._f = jax.jit(step_fn)
+        self._fb = jax.jit(jax.vmap(step_fn))
+        self._jx = jax.jit(jax.jacfwd(step_fn, argnums=0))
+        self._ju = jax.jit(jax.jacfwd(step_fn, argnums=1))
+        self._jxb = jax.jit(jax.vmap(jax.jacfwd(step_fn, argnums=0)))
+        self._jub = jax.jit(jax.vmap(jax.jacfwd(step_fn, argnums=1)))
+
+    def pred_diff(self, x, u):
+        x = jnp.asarray(x)
+        u = jnp.asarray(u)
+        return (
+            np.asarray(self._f(x, u)),
+            np.asarray(self._jx(x, u)),
+            np.asarray(self._ju(x, u)),
+        )
+
+    def pred_batch(self, xs, us):
+        return np.asarray(self._fb(jnp.asarray(xs), jnp.asarray(us)))
+
+    def pred_diff_batch(self, xs, us):
+        xs = jnp.asarray(xs)
+        us = jnp.asarray(us)
+        return (
+            np.asarray(self._fb(xs, us)),
+            np.asarray(self._jxb(xs, us)),
+            np.asarray(self._jub(xs, us)),
+        )
+
+
+class _RefCostShim:
+    """Wraps our QuadCost with the reference Cost call surface
+    (reference costs/cost.py:27-213), converting to numpy."""
+
+    def __init__(self, cost):
+        self._c = cost
+
+    def eval_obs_cost(self, x):
+        return float(self._c.eval_obs_cost(jnp.asarray(x)))
+
+    def eval_ctrl_cost(self, u):
+        return float(self._c.eval_ctrl_cost(jnp.asarray(u)))
+
+    def eval_term_obs_cost(self, x):
+        return float(self._c.eval_term_obs_cost(jnp.asarray(x)))
+
+    def eval_obs_cost_hess(self, x):
+        v, g, h = self._c.eval_obs_cost_hess(jnp.asarray(x))
+        return float(v), np.asarray(g), np.asarray(h)
+
+    def eval_ctrl_cost_hess(self, u):
+        v, g, h = self._c.eval_ctrl_cost_hess(jnp.asarray(u))
+        return float(v), np.asarray(g), np.asarray(h)
+
+    def eval_term_obs_cost_hess(self, x):
+        v, g, h = self._c.eval_term_obs_cost_hess(jnp.asarray(x))
+        return float(v), np.asarray(g), np.asarray(h)
+
+
+class _RefTaskShim:
+    def __init__(self, cost):
+        self._cost = _RefCostShim(cost)
+
+    def get_cost(self):
+        return self._cost
+
+    def are_ctrl_bounded(self):
+        return False
+
+
+class _RefSystemShim:
+    def __init__(self, obs_dim, ctrl_dim, dt):
+        self.obs_dim = obs_dim
+        self.ctrl_dim = ctrl_dim
+        self.dt = dt
+
+
+def _cartpole_setup(goal):
+    dt = 0.05
+    system = System(["theta", "omega", "x", "dx"], ["u"], dt=dt)
+    step = lambda x, u: dt_cartpole_dynamics(x, u, dt)
+    cost = QuadCost(
+        system,
+        jnp.diag(jnp.array([10.0, 0.1, 0.05, 0.05])),
+        0.01 * jnp.eye(1),
+        jnp.diag(jnp.array([10.0, 0.1, 0.05, 0.05])),
+        goal=jnp.asarray(goal),
+    )
+    return system, step, cost
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "goal,ubounds",
+    [
+        (np.zeros(4), (np.array([-20.0]), np.array([20.0]))),
+        (np.array([0.0, 0.0, 1.0, 0.0]), None),
+    ],
+)
+def test_ilqr_matches_reference_implementation(goal, ubounds):
+    ref_ilqr = _load_ref_control("ilqr")
+    system, step, cost = _cartpole_setup(goal)
+    H = 20
+
+    ref_model = _RefModelShim(step, ds=4)
+    ref_ctrl = ref_ilqr.IterativeLQR(
+        _RefSystemShim(4, 1, system.dt),
+        _RefTaskShim(cost),
+        ref_model,
+        horizon=H,
+        ubounds=ubounds,
+    )
+
+    ours = jax.jit(
+        make_ilqr_solver(
+            lambda params, x, u: step(x, u),
+            cost,
+            H=H,
+            ds=4,
+            dc=1,
+            obsdim=4,
+            dt=system.dt,
+            ubounds=ubounds,
+        )
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        x0 = rng.uniform(-1, 1, 4) * np.array([3.0, 1.0, 1.0, 1.0])
+        uguess = np.zeros((H, 1))
+        r_conv, r_xs, r_us, r_Ks, r_ks = ref_ctrl.compute_ilqr(
+            x0, uguess.copy(), silent=True
+        )
+        o_conv, o_xs, o_us, o_Ks, o_ks = ours(
+            {}, jnp.asarray(x0), jnp.asarray(uguess)
+        )
+        assert bool(o_conv) == bool(r_conv), f"trial {trial}: convergence flag"
+        np.testing.assert_allclose(
+            np.asarray(o_xs), r_xs, rtol=1e-6, atol=1e-8,
+            err_msg=f"trial {trial}: states",
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_us), r_us, rtol=1e-6, atol=1e-8,
+            err_msg=f"trial {trial}: controls",
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_Ks), r_Ks, rtol=1e-5, atol=1e-7,
+            err_msg=f"trial {trial}: gains",
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_ks), r_ks, rtol=1e-5, atol=1e-7,
+            err_msg=f"trial {trial}: feedforward",
+        )
+
+
+def test_finite_horizon_lqr_gain_matches_reference():
+    ref_lqr = _load_ref_control("lqr")
+    rng = np.random.default_rng(3)
+    ds, dc = 4, 2
+    A = np.eye(ds) + 0.05 * rng.standard_normal((ds, ds))
+    B = 0.1 * rng.standard_normal((ds, dc))
+    Q = np.diag(rng.uniform(0.5, 2.0, ds))
+    R = np.diag(rng.uniform(0.1, 1.0, dc))
+    F = np.diag(rng.uniform(0.5, 2.0, ds))
+    N = np.zeros((ds, dc))
+    horizon = 50
+
+    K_ref = ref_lqr._finite_horz_dt_lqr(A, B, Q, R, N, F, horizon)
+    K_ours, _ = finite_horizon_lqr(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(Q), jnp.asarray(R),
+        jnp.asarray(N), jnp.asarray(F), horizon,
+    )
+    np.testing.assert_allclose(np.asarray(K_ours), K_ref, rtol=1e-9, atol=1e-12)
+
+
+def test_infinite_horizon_riccati_matches_reference_fixed_point():
+    """The reference's InfiniteHorizonLQR calls an undefined ``dare``
+    (lqr.py:104 — broken); its ``_inf_horz_dt_lqr`` fixed-point helper
+    (lqr.py:23-33) is the working semantics. Pin our fixed-point gain
+    to it."""
+    ref_lqr = _load_ref_control("lqr")
+    from autompc_tpu.ops.riccati import infinite_horizon_lqr
+
+    rng = np.random.default_rng(11)
+    ds, dc = 3, 1
+    A = 0.9 * np.eye(ds) + 0.02 * rng.standard_normal((ds, ds))
+    B = 0.1 * rng.standard_normal((ds, dc))
+    Q = np.diag(rng.uniform(0.5, 2.0, ds))
+    R = np.array([[0.5]])
+    N = np.zeros((ds, dc))
+
+    K_ref = ref_lqr._inf_horz_dt_lqr(A, B, Q, R, N, threshold=1e-10)
+    K_ours, _ = infinite_horizon_lqr(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(Q), jnp.asarray(R),
+        threshold=1e-10,
+    )
+    np.testing.assert_allclose(np.asarray(K_ours), K_ref, rtol=1e-6, atol=1e-9)
