@@ -37,3 +37,52 @@ if os.environ.get("AMPC_KEEP_AXON") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)
+
+
+# ---------------------------------------------------------------------
+# Test tiering: the compile-heavy tests (measured >= ~10 s each on the
+# 8-device CPU mesh; full suite ~25 min) are marked "slow" so a <60 s
+# smoke tier exists:   pytest tests/ -m "not slow"
+# Centralized here (plus explicit @pytest.mark.slow decorators in test
+# files) so the tier list is maintained in one place.
+# ---------------------------------------------------------------------
+
+_SLOW = (
+    "test_pallas_relin.py::test_horizon_blocking_invariance",
+    "test_pallas_relin.py::test_matches_jacfwd",
+    "test_pallas_relin.py::test_feature_masking_matches_dense",
+    "test_pallas_relin.py::test_matches_analytic_library_jacobian",
+    "test_pallas_relin.py::test_grad_terms_path_matches_jvp_path",
+    "test_pallas_relin.py::test_per_lane_coeffs_matches_shared_calls",
+    "test_pallas_linesearch.py::test_per_lane_coeffs_matches_shared_calls",
+    "test_pallas_linesearch.py::TestFusedLineSearch",
+    "test_pallas_riccati.py::test_general_kernel_matches_scan",
+    "test_checkpoint_misc.py::TestPipelineTunerCheckpoint",
+    "test_halfcheetah_tuning.py::",
+    "test_halfcheetah.py::TestBenchmark::test_mlp_learns_dynamics",
+    "test_tuning.py::TestPipelineTunerFanout",
+    "test_tuning.py::TestPipelineTuner::test_small_pipeline_tune",
+    "test_tuning.py::TestModelTuner::test_tunes_and_selects",
+    "test_batched_ilqr.py::test_tvlqr_backward_assoc_matches_scan",
+    "test_batched_ilqr.py::test_scheduled_compaction_matches_batched",
+    "test_batched_ilqr.py::test_staged_compaction_matches_batched",
+    "test_batched_ilqr.py::test_quad_cost_batch_per_lane",
+    "test_batched_ilqr.py::test_batched_assoc_backward_matches_scan",
+    "test_batched_ilqr.py::test_batch_params_matches_vmapped_single",
+    "test_bucketed.py::",
+    "test_parallel.py::TestBatchedFanoutCompaction",
+    "test_koopman_dt.py::TestQPBackwardAssoc",
+    "test_gp.py::TestApproximateGP::test_pred_diff_shapes",
+    "test_fuzz_dims.py::test_quad_cost_batch_solver_all_dims",
+    "test_joint_fanout.py::",
+    "test_receding.py::test_receding_loop_matches_host_loop",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        nodeid = item.nodeid.replace("tests/", "", 1)
+        if any(nodeid.startswith(p) or p in nodeid for p in _SLOW):
+            item.add_marker(_pytest.mark.slow)
