@@ -247,9 +247,24 @@ def make_batched_ilqr_solver(
     return_pieces: bool = False,
     quad_cost_batch: bool = False,
     quad_goal=None,
+    batch_params: bool = False,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
     (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
+
+    ``batch_params=True`` gives every lane its OWN model: every leaf of
+    ``params`` carries a leading batch axis (e.g. SINDy coefficients
+    ``(B, ds, F)``). This is what lets the JOINT tuning fan-out — the
+    reference's flagship scenario, a fresh sysid model trained per
+    candidate (autompc/tuning/pipeline_tuner.py:213-258,
+    pipeline.py:107-168) — evaluate a whole candidate batch in one
+    solver program: the forward/relinearization/line-search phases map
+    over the params axis, the Pallas feature kernels take per-lane
+    coefficient planes (VMEM lanes-last instead of SMEM), and the
+    backward pass is unchanged (it consumes Jacobians, not params).
+    Converged-lane compaction gathers the params rows alongside the
+    rest of the carry. Incompatible with ``fuse_ls`` (that kernel reads
+    one fixed cost's matrices).
 
     ``return_pieces=True`` additionally returns the solver's building
     blocks ``(solve, make_carry0, cond, make_body)`` — the outer
@@ -331,11 +346,22 @@ def make_batched_ilqr_solver(
         return jnp.clip(u, umin, umax) if ubounds is not None else u
 
     use_pallas = backward == "pallas" and dc == 1
+    # Multi-control backward: the general time-streamed kernel (any ds,
+    # dc — halfcheetah ds=18, dc=6; ops/pallas_riccati.py:
+    # pallas_tvlqr_backward_general). dc=1 keeps the whole-horizon-
+    # resident kernels, which are faster at small ds.
+    use_pallas_general = backward == "pallas" and dc > 1
     if relin not in ("auto", "pallas", "xla"):
         raise ValueError(f"unknown relin mode {relin!r}")
     if relin == "pallas" and feature_spec is None:
         raise ValueError("relin='pallas' needs feature_spec")
     use_pallas_relin = feature_spec is not None and relin != "xla"
+    if batch_params and fuse_ls:
+        raise ValueError(
+            "fuse_ls reads one fixed cost inside the kernel; "
+            "incompatible with batch_params"
+        )
+    p_ax = 0 if batch_params else None
 
     if feature_mask is not None:
         if feature_spec is None:
@@ -362,7 +388,9 @@ def make_batched_ilqr_solver(
             tuple(gts[k] for k in active_idx) if gts is not None else None
         )
         sel = jnp.asarray(active_idx, dtype=jnp.int32)
-        return fns_a, gts_a, (lambda c: c[:, sel])
+        # ``...`` handles both shared (ds, F) and per-lane (B, ds, F)
+        # coefficient planes.
+        return fns_a, gts_a, (lambda c: c[..., sel])
 
     # Diagonal-quadratic costs let the Pallas backward kernel compute
     # the stage expansions inline from (xs, us) — the whole expansions
@@ -421,9 +449,9 @@ def make_batched_ilqr_solver(
                 grad_terms=gts_a,
                 block_b=TB,
             )
-        return jax.vmap(
-            lambda xs_, us_: relinearize_one(params, xs_, us_)
-        )(xs, us)
+        return jax.vmap(relinearize_one, in_axes=(p_ax, 0, 0))(
+            params, xs, us
+        )
 
     def relinearize_one(params, xs, us):
         if analytic_jac and feature_spec is not None:
@@ -553,23 +581,26 @@ def make_batched_ilqr_solver(
         if quad_cost_batch and cost_params is None:
             raise ValueError("quad_cost_batch solve needs cost_params")
         if use_pallas_relin:
-            def roll_one(x0, us):
+            def roll_one(params_, x0, us):
                 def step(x, u):
-                    pred = pred_core(params, x, u)
+                    pred = pred_core(params_, x, u)
                     return pred, pred
 
                 _, xs1 = jax.lax.scan(step, x0, us, unroll=unroll)
                 return jnp.concatenate([x0[None], xs1], axis=0)
 
-            xs0 = jax.vmap(roll_one)(x0s, uguess)
+            xs0 = jax.vmap(roll_one, in_axes=(p_ax, 0, 0))(
+                params, x0s, uguess
+            )
             Jx0, Ju0 = relinearize_batch(params, xs0, uguess)
         else:
-            xs0, Jx0, Ju0 = jax.vmap(
-                lambda x, u: forward_one(params, x, u)
-            )(x0s, uguess)
+            xs0, Jx0, Ju0 = jax.vmap(forward_one, in_axes=(p_ax, 0, 0))(
+                params, x0s, uguess
+            )
         obj0 = jax.vmap(eval_obj_one)(xs0, uguess, cp)
         return dict(
             x0s=x0s, cost=cp,
+            **({"params": params} if batch_params else {}),
             xs=xs0, us=uguess, Jx=Jx0, Ju=Ju0, obj=obj0,
             Ks=jnp.zeros((B, H, dc, ds)), ks=jnp.zeros((B, H, dc)),
             itr=jnp.array(0),
@@ -588,6 +619,9 @@ def make_batched_ilqr_solver(
             B = x0s.shape[0]
             xs, us = c["xs"], c["us"]
             cp = c["cost"]
+            # Per-lane params ride the carry so compaction gathers their
+            # rows together with the trajectories.
+            pp = c["params"] if batch_params else params
             active = ~c["converged"] & ~c["failed"]
 
             if quad_backward:
@@ -618,6 +652,18 @@ def make_batched_ilqr_solver(
                 # Pad batch to the kernel's block size.
                 TB = min(block_b, B)
                 Ks, ks, lin_red, quad_red = pallas_tvlqr_backward(
+                    c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn,
+                    block_b=TB if B % TB == 0 else B,
+                )
+            elif use_pallas_general:
+                from ..ops.pallas_riccati import (
+                    pallas_tvlqr_backward_general,
+                )
+
+                Vn, vn = jax.vmap(term_one)(xs[:, H], cp)
+                Cxx, Cuu, cx, cu = jax.vmap(expansions_one)(xs, us, cp)
+                TB = min(block_b, B)
+                Ks, ks, lin_red, quad_red = pallas_tvlqr_backward_general(
                     c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn,
                     block_b=TB if B % TB == 0 else B,
                 )
@@ -658,7 +704,7 @@ def make_batched_ilqr_solver(
                 fuse_relin = gts_a is not None and use_pallas_relin
                 outs = pallas_fused_line_search(
                     fns_a, x0s, xs, us, Ks, ks,
-                    sel(params[coeffs_key]), alphas, ls_umin, ls_umax,
+                    sel(pp[coeffs_key]), alphas, ls_umin, ls_umax,
                     cost._Q, cost._R, cost._F, cost._goal, dt,
                     c["obj"], lin_red, quad_red, ks_small,
                     grad_terms=gts_a if fuse_relin else None,
@@ -680,17 +726,15 @@ def make_batched_ilqr_solver(
                     fns_a, _, sel = _active_terms(library)
                     ls_xs, ls_us = pallas_sindy_line_search(
                         fns_a, x0s, xs, us, Ks, ks,
-                        sel(params[coeffs_key]), alphas,
+                        sel(pp[coeffs_key]), alphas,
                         ls_umin, ls_umax,
                         block_b=TB if B % TB == 0 else B,
                         block_l=ls_block_l,
                     )
                 else:
                     ls_xs, ls_us = jax.vmap(
-                        lambda x0, xs_, us_, K_, k_: line_search_one(
-                            params, x0, xs_, us_, K_, k_
-                        )
-                    )(x0s, xs, us, Ks, ks)
+                        line_search_one, in_axes=(p_ax, 0, 0, 0, 0, 0)
+                    )(pp, x0s, xs, us, Ks, ks)
                 new_objs = jax.vmap(
                     lambda xs_l, us_l, cp1: jax.vmap(
                         lambda a, b: eval_obj_one(a, b, cp1)
@@ -732,7 +776,7 @@ def make_batched_ilqr_solver(
             if fused_jac is not None:
                 Jx_lin, Ju_lin = fused_jac
             else:
-                Jx_lin, Ju_lin = relinearize_batch(params, new_xs, new_us)
+                Jx_lin, Ju_lin = relinearize_batch(pp, new_xs, new_us)
             succ = ls_success[:, None, None, None]
             Jx_new = jnp.where(succ, Jx_lin, c["Jx"])
             Ju_new = jnp.where(succ, Ju_lin, c["Ju"])
@@ -749,6 +793,7 @@ def make_batched_ilqr_solver(
             finished_now = active & (converged_now | failed_now)
             return dict(
                 x0s=x0s, cost=cp,
+                **({"params": pp} if batch_params else {}),
                 xs=upd(new_xs, xs, failed_now),
                 us=upd(new_us, us, failed_now),
                 Jx=upd(Jx_new, c["Jx"], failed_now),

@@ -216,7 +216,7 @@ def pallas_sindy_line_search(
             jax.ShapeDtypeStruct((H, L, dc, B), xs.dtype),
         ),
         interpret=interpret,
-    )(x0T, xsT, usT, KsT, ksT, coeffs.astype(xs.dtype), alphas2,
+    )(x0T, xsT, usT, KsT, ksT, coeffs_in, alphas2,
       umin2, umax2)
 
     ls_xs = jnp.transpose(out_xsT, (3, 1, 0, 2))       # (B, L, H+1, ds)

@@ -129,7 +129,11 @@ def pallas_feature_jacobians(
     xs : (B, H+1, ds) or (B, H, ds) trajectory states (only the first H
         rows are linearization points)
     us : (B, H, dc) controls
-    coeffs : (ds, F) model coefficients
+    coeffs : (ds, F) model coefficients shared across lanes, or
+        (B, ds, F) PER-LANE coefficients (joint tuning fan-out: one
+        trained model per candidate lane; rides VMEM lanes-last, the
+        kernel body is unchanged — each (i, k) read becomes a (TB,)
+        lane vector that broadcasts against the (TH, TB) slabs)
     grad_terms : optional static tuple of per-term ((comp, grad_fn),
         ...) sparse analytic gradients (FeatureLibrary.grad_terms);
         when given, each Jacobian column evaluates only the nonzero
@@ -169,21 +173,34 @@ def pallas_feature_jacobians(
             memory_space=pltpu.VMEM,
         )
 
+    if coeffs.ndim == 3:
+        # Per-lane coefficients: (ds, F, TB) VMEM blocks over the batch
+        # grid axis (constant across the horizon axis).
+        coeffs_in = jnp.transpose(coeffs, (1, 2, 0)).astype(xs.dtype)
+        coeffs_spec = pl.BlockSpec(
+            coeffs.shape[1:] + (TB,),
+            lambda i, j: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        coeffs_in = coeffs.astype(xs.dtype)
+        coeffs_spec = pl.BlockSpec(
+            coeffs.shape, lambda i, j: (0, 0),
+            memory_space=pltpu.SMEM,
+        )
+
     jacT = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             vspec((ds,)),
             vspec((dc,)),
-            pl.BlockSpec(
-                coeffs.shape, lambda i, j: (0, 0),
-                memory_space=pltpu.SMEM,
-            ),
+            coeffs_spec,
         ],
         out_specs=vspec((ds, d)),
         out_shape=jax.ShapeDtypeStruct((H, ds, d, B), xs.dtype),
         interpret=interpret,
-    )(xsT, usT, coeffs.astype(xs.dtype))
+    )(xsT, usT, coeffs_in)
 
     jac = jnp.transpose(jacT, (3, 0, 1, 2))            # (B, H, ds, d)
     return jac[..., :ds], jac[..., ds:]

@@ -333,6 +333,264 @@ def pallas_tvlqr_backward_quad(
     return Ks, ks, linT[0], quadT[0]
 
 
+def _backward_general_kernel(ds, dc, H, jx_ref, ju_ref, cxx_ref, cuu_ref,
+                             cx_ref, cu_ref, vnm_ref, vnv_ref,
+                             ks_out_ref, kv_out_ref, lin_out_ref,
+                             quad_out_ref, V_s, v_s):
+    """General (any dc, any ds) backward step — one (batch-block, t)
+    grid cell. The horizon is the SECOND grid axis with a reversed
+    index map, so each cell sees one time slice streamed HBM->VMEM by
+    the Pallas pipeline (double-buffered) while the value-function
+    carry lives in VMEM scratch across cells — unlike the dc=1 kernels,
+    the whole-horizon window never has to fit in VMEM, so
+    halfcheetah-scale (ds=18, dc=6, H=200) shapes run.
+
+    Per-cell shapes (lanes last): jx (1, ds, ds, TB), ju (1, ds, dc,
+    TB), cxx (1, ds, ds, TB), cuu (1, dc, dc, TB), cx (1, ds, TB),
+    cu (1, dc, TB), vnm (ds, ds, TB), vnv (ds, TB); outs ks (1, dc, ds,
+    TB), kv (1, dc, TB), lin/quad (1, TB) [revisited accumulators];
+    scratch V_s (ds, ds, TB), v_s (ds, TB).
+
+    The dc x dc Quu solve is an unrolled per-lane Cholesky +
+    forward/back substitution (dc is small — 6 for halfcheetah — so
+    the dc^3/3 slab ops vectorize across TB lanes on the VPU exactly
+    like the rest of the recursion).
+    """
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _init():
+        V_s[...] = vnm_ref[...]
+        v_s[...] = vnv_ref[...]
+        lin_out_ref[0] = jnp.zeros_like(lin_out_ref[0])
+        quad_out_ref[0] = jnp.zeros_like(quad_out_ref[0])
+
+    V = V_s[...]
+    v = v_s[...]
+    Jx = jx_ref[0]          # (ds, ds, TB)
+    Ju = ju_ref[0]          # (ds, dc, TB)
+    Cxx = cxx_ref[0]
+    Cuu = cuu_ref[0]        # (dc, dc, TB)
+    cx = cx_ref[0]          # (ds, TB)
+    cu = cu_ref[0]          # (dc, TB)
+
+    # JuV[a][j] = sum_k Ju[k, a] V[k, j]      (Ju' V)
+    JuV = [
+        [sum(Ju[k, a] * V[k, j] for k in range(ds)) for j in range(ds)]
+        for a in range(dc)
+    ]
+    # Quu[a][b] = Cuu[a, b] + sum_k JuV[a][k] Ju[k, b]
+    Quu = [
+        [
+            Cuu[a, b] + sum(JuV[a][k] * Ju[k, b] for k in range(ds))
+            for b in range(dc)
+        ]
+        for a in range(dc)
+    ]
+    # Qux[a][j] = sum_k JuV[a][k] Jx[k, j]
+    Qux = [
+        [sum(JuV[a][k] * Jx[k, j] for k in range(ds)) for j in range(ds)]
+        for a in range(dc)
+    ]
+    # qu[a] = cu[a] + Ju[:, a] . v
+    qu = [
+        cu[a] + sum(Ju[k, a] * v[k] for k in range(ds)) for a in range(dc)
+    ]
+
+    # Per-lane Cholesky Quu = L L' (unrolled over dc).
+    L = [[None] * dc for _ in range(dc)]
+    Linv_diag = [None] * dc
+    for a in range(dc):
+        diag = Quu[a][a] - sum(L[a][m] * L[a][m] for m in range(a))
+        L[a][a] = jnp.sqrt(diag)
+        Linv_diag[a] = 1.0 / L[a][a]
+        for b in range(a + 1, dc):
+            L[b][a] = (
+                Quu[b][a] - sum(L[b][m] * L[a][m] for m in range(a))
+            ) * Linv_diag[a]
+
+    def chol_solve(rhs):
+        """Solve Quu x = rhs for one rhs (list of dc lane-vectors)."""
+        y = []
+        for a in range(dc):
+            y.append(
+                (rhs[a] - sum(L[a][m] * y[m] for m in range(a)))
+                * Linv_diag[a]
+            )
+        x = [None] * dc
+        for a in range(dc - 1, -1, -1):
+            x[a] = (
+                y[a] - sum(L[b][a] * x[b] for b in range(a + 1, dc))
+            ) * Linv_diag[a]
+        return x
+
+    # K = -Quu^{-1} Qux (columnwise), kff = -Quu^{-1} qu.
+    K = [[None] * ds for _ in range(dc)]
+    for j in range(ds):
+        col = chol_solve([Qux[a][j] for a in range(dc)])
+        for a in range(dc):
+            K[a][j] = -col[a]
+    kff_col = chol_solve(qu)
+    kff = [-kff_col[a] for a in range(dc)]
+
+    lin_out_ref[0] = lin_out_ref[0] + sum(
+        qu[a] * kff[a] for a in range(dc)
+    )
+    Quu_kff = [
+        sum(Quu[a][b] * kff[b] for b in range(dc)) for a in range(dc)
+    ]
+    quad_out_ref[0] = quad_out_ref[0] + sum(
+        kff[a] * Quu_kff[a] for a in range(dc)
+    )
+
+    # JxV[i][j] = sum_k Jx[k, i] V[k, j]
+    JxV = [
+        [sum(Jx[k, i] * V[k, j] for k in range(ds)) for j in range(ds)]
+        for i in range(ds)
+    ]
+    Qxx = [
+        [
+            Cxx[i, j] + sum(JxV[i][k] * Jx[k, j] for k in range(ds))
+            for j in range(ds)
+        ]
+        for i in range(ds)
+    ]
+    qx = [
+        cx[i] + sum(Jx[k, i] * v[k] for k in range(ds)) for i in range(ds)
+    ]
+
+    # V' = Qxx + Qux' K + K' Qux + K' Quu K ; v' = qx + Qux' kff
+    #      + K' (qu + Quu kff).
+    KQuu = [
+        [sum(K[a][i] * Quu[a][b] for a in range(dc)) for b in range(dc)]
+        for i in range(ds)
+    ]
+    V_new = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    Qxx[i][j]
+                    + sum(Qux[a][i] * K[a][j] for a in range(dc))
+                    + sum(K[a][i] * Qux[a][j] for a in range(dc))
+                    + sum(KQuu[i][b] * K[b][j] for b in range(dc))
+                    for j in range(ds)
+                ]
+            )
+            for i in range(ds)
+        ]
+    )
+    resid = [qu[a] + Quu_kff[a] for a in range(dc)]
+    v_new = jnp.stack(
+        [
+            qx[i]
+            + sum(Qux[a][i] * kff[a] for a in range(dc))
+            + sum(K[a][i] * resid[a] for a in range(dc))
+            for i in range(ds)
+        ]
+    )
+
+    ks_out_ref[0] = jnp.stack([jnp.stack(K[a]) for a in range(dc)])
+    kv_out_ref[0] = jnp.stack(kff)
+    V_s[...] = V_new
+    v_s[...] = v_new
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def pallas_tvlqr_backward_general(Jx, Ju, Cxx, Cuu, cx, cu, Vn, vn,
+                                  block_b: int = 256,
+                                  interpret: bool = False):
+    """Batched TVLQR backward pass for ANY (ds, dc) — the multi-control
+    generalization of ``pallas_tvlqr_backward`` (which is specialized
+    to dc=1). Streams the horizon through a (batch-blocks, H) grid with
+    the value-function carry in VMEM scratch, so VMEM holds one time
+    slice per buffer instead of the whole horizon — required at
+    halfcheetah scale (ds=18: a whole-horizon window would need ~33 MB
+    at TB=128).
+
+    Parameters: Jx (B, H, ds, ds), Ju (B, H, ds, dc), Cxx (B, H, ds,
+    ds), Cuu (B, H, dc, dc), cx (B, H, ds), cu (B, H, dc),
+    Vn (B, ds, ds), vn (B, ds).
+
+    Returns (Ks (B, H, dc, ds), ks (B, H, dc), lin_red (B,), quad_red
+    (B,)) matching ``jax.vmap(tvlqr_backward_scan)`` (test-pinned).
+    """
+    B, H, ds, _ = Jx.shape
+    dc = Ju.shape[-1]
+    TB = min(block_b, B)
+    if B % TB != 0:
+        raise ValueError(f"batch {B} must be divisible by block {TB}")
+
+    jx = jnp.transpose(Jx, (1, 2, 3, 0))           # (H, ds, ds, B)
+    ju = jnp.transpose(Ju, (1, 2, 3, 0))           # (H, ds, dc, B)
+    cxxT = jnp.transpose(Cxx, (1, 2, 3, 0))
+    cuuT = jnp.transpose(Cuu, (1, 2, 3, 0))        # (H, dc, dc, B)
+    cxT = jnp.transpose(cx, (1, 2, 0))             # (H, ds, B)
+    cuT = jnp.transpose(cu, (1, 2, 0))             # (H, dc, B)
+    vnm = jnp.transpose(Vn, (1, 2, 0))             # (ds, ds, B)
+    vnv = jnp.transpose(vn, (1, 0))                # (ds, B)
+
+    kernel = functools.partial(_backward_general_kernel, ds, dc, H)
+    grid = (B // TB, H)
+
+    def tspec(shape_mid):
+        # One time row per cell, reversed (t grid axis runs the
+        # recursion H-1 -> 0).
+        nd = len(shape_mid)
+        return pl.BlockSpec(
+            (1,) + shape_mid + (TB,),
+            lambda b, t, nd=nd: (H - 1 - t,) + (0,) * nd + (b,),
+            memory_space=pltpu.VMEM,
+        )
+
+    def cspec(shape_prefix):
+        # Constant across the time axis (terminal expansions, lin/quad
+        # accumulators — the block is revisited, living in VMEM for the
+        # whole batch-block's recursion).
+        nd = len(shape_prefix)
+        return pl.BlockSpec(
+            shape_prefix + (TB,),
+            lambda b, t, nd=nd: (0,) * nd + (b,),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shape = (
+        jax.ShapeDtypeStruct((H, dc, ds, B), Jx.dtype),
+        jax.ShapeDtypeStruct((H, dc, B), Jx.dtype),
+        jax.ShapeDtypeStruct((1, B), Jx.dtype),
+        jax.ShapeDtypeStruct((1, B), Jx.dtype),
+    )
+    ksT, kvT, linT, quadT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            tspec((ds, ds)),
+            tspec((ds, dc)),
+            tspec((ds, ds)),
+            tspec((dc, dc)),
+            tspec((ds,)),
+            tspec((dc,)),
+            cspec((ds, ds)),
+            cspec((ds,)),
+        ],
+        out_specs=(
+            tspec((dc, ds)),
+            tspec((dc,)),
+            cspec((1,)),
+            cspec((1,)),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((ds, ds, TB), Jx.dtype),
+            pltpu.VMEM((ds, TB), Jx.dtype),
+        ],
+        interpret=interpret,
+    )(jx, ju, cxxT, cuuT, cxT, cuT, vnm, vnv)
+
+    Ks = jnp.transpose(ksT, (3, 0, 1, 2))          # (B, H, dc, ds)
+    ks = jnp.transpose(kvT, (2, 0, 1))             # (B, H, dc)
+    return Ks, ks, linT[0], quadT[0]
+
+
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
 def pallas_tvlqr_backward(Jx, Ju, Cxx, Cuu, cx, cu, Vn, vn,
                           block_b: int = 128, interpret: bool = False):

@@ -293,6 +293,220 @@ class QuadCostFanout:
         return self._eval(params_batch)
 
 
+class JointSINDyQuadCostFanout:
+    """JOINT model + cost + controller fan-out: candidates that differ
+    in their SINDy regularization (`_model:threshold` / `_model:
+    lasso_alpha`), their diagonal quadratic cost gains, AND share an
+    iLQR horizon bucket all evaluate through ONE device program —
+    per-lane STLSQ/FISTA training on the staged sysid data, then the
+    per-lane-model per-lane-cost batched iLQR closed loop against the
+    surrogate.
+
+    This is the reference's flagship AutoML scenario — a fresh sysid
+    model trained for every SMAC candidate, then simulated closed-loop
+    (autompc/tuning/pipeline_tuner.py:213-258, pipeline.py:107-168,
+    the notebook-0 "5+ hours" loop) — as a single fused batch: training
+    is a vmapped masked-lstsq iteration (ops/lstsq.py:stlsq), the
+    controller synthesis rides ``make_batched_ilqr_solver(
+    batch_params=True, quad_cost_batch=True)`` with the per-lane-
+    coefficient Pallas line-search/relinearization kernels, and the
+    whole thing shard_maps over the mesh's candidate axis.
+
+    One instance per (SINDy basis bucket, horizon) — the shape-changing
+    hyperparameters; the traced ones (reg, Q/R/F diagonals) batch
+    freely.
+
+    ``__call__(batch)`` takes ``{"reg": (B,), "Qdiag": (B, n),
+    "Rdiag": (B, m), "Fdiag": (B, n)}`` and returns per-candidate task
+    costs ``(B,)``.
+    """
+
+    def __init__(
+        self,
+        system,
+        task,
+        sindy_cfg: dict,
+        sysid_trajs,
+        surrogate,
+        horizon: int = 20,
+        n_steps: Optional[int] = None,
+        mesh=None,
+        goal=None,
+        compact_schedule=None,
+        warm_start: bool = False,
+        backward: str = "scan",
+        block_b: int = 128,
+        use_feature_kernels: bool = False,
+    ):
+        # Defaults are CPU-safe (XLA scan paths); TPU callers opt into
+        # the Pallas kernels with backward="pallas",
+        # use_feature_kernels=True — the same convention as
+        # QuadCostFanout's backward/feature_spec knobs.
+        from ..core.trajectory import batch as traj_batch
+        from ..ops.lstsq import fista_lasso, stlsq
+        from ..sysid.sindy import SINDy
+
+        self.system = system
+        n_steps = n_steps or (task.get_num_steps() or 200) - 1
+        goal = jnp.asarray(
+            goal
+            if goal is not None
+            else (task.get_cost().get_goal() if task.get_cost() is not None
+                  else jnp.zeros(system.obs_dim))
+        )
+        init_obs = jnp.asarray(task.get_init_obs())
+        bounds = task.get_ctrl_bounds()
+        ubounds = (bounds[:, 0], bounds[:, 1])
+        task_cost = task.get_cost()
+
+        skeleton = SINDy(system, **sindy_cfg)
+        library = skeleton.library
+        time_mode = skeleton.time_mode
+        method = skeleton.method
+        n = system.obs_dim
+        dc = system.ctrl_dim
+        dt = system.dt
+
+        # Stage the training matrices once (SINDy.train semantics,
+        # sysid/sindy.py:155-185): features over the sysid split, next-
+        # obs (discrete) or finite-difference (continuous) targets.
+        tb = traj_batch(sysid_trajs)
+        feats = library(jnp.concatenate([tb.obs, tb.ctrls], axis=-1))
+        if time_mode == "continuous":
+            from ..sysid.basis import finite_difference
+
+            targets = jax.vmap(lambda o: finite_difference(o, dt))(tb.obs)
+            mask = tb.mask()
+        else:
+            targets = jnp.roll(tb.obs, -1, axis=1)
+            mask = tb.step_mask()
+        A_mat = feats.reshape(-1, library.n_features)
+        y_mat = targets.reshape(-1, n)
+        rmask = mask.reshape(-1)
+
+        def train_one(reg):
+            if method == "lasso":
+                coefs = fista_lasso(A_mat, y_mat, reg, mask=rmask)
+            else:
+                coefs = stlsq(A_mat, y_mat, reg, mask=rmask)
+            return coefs.T                              # (n, F)
+
+        def pred_core(params, state, ctrl):
+            theta = library(jnp.concatenate([state, ctrl]))
+            out = params["coeffs"] @ theta
+            if time_mode == "continuous":
+                return state + dt * out
+            return out
+
+        # The feature kernels compute x' = coeffs @ theta directly, so
+        # they serve discrete-time models only; continuous-time buckets
+        # take the XLA scan paths.
+        feature_spec = (
+            (library, "coeffs")
+            if use_feature_kernels and time_mode == "discrete"
+            else None
+        )
+        solver_kw = dict(
+            H=horizon, ds=n, dc=dc, obsdim=n, dt=dt, ubounds=ubounds,
+            backward=backward, feature_spec=feature_spec,
+            block_b=block_b, ls_block_l=10,
+            batch_params=True, quad_cost_batch=True, quad_goal=goal,
+        )
+        if compact_schedule is not None:
+            if isinstance(compact_schedule, str):
+                from ..control.ilqr import parse_schedule
+
+                compact_schedule = parse_schedule(compact_schedule)
+            from ..control.ilqr import make_scheduled_ilqr_solver
+
+            solve = make_scheduled_ilqr_solver(
+                pred_core, None, schedule=tuple(compact_schedule),
+                **solver_kw,
+            )
+        else:
+            from ..control.ilqr import make_batched_ilqr_solver
+
+            solve = make_batched_ilqr_solver(pred_core, None, **solver_kw)
+
+        surr_params = surrogate.params
+
+        def eval_batch(batch):
+            B = batch["reg"].shape[0]
+            coeffs = jax.vmap(train_one)(batch["reg"])   # (B, n, F)
+            params = {"coeffs": coeffs}
+            cost_params = {
+                "Qdiag": batch["Qdiag"],
+                "Rdiag": batch["Rdiag"],
+                "Fdiag": batch["Fdiag"],
+            }
+            obs0 = jnp.broadcast_to(init_obs, (B, n))
+
+            def body(carry, _):
+                obs, us_prev = carry
+                if warm_start:
+                    uguess = jnp.concatenate(
+                        [us_prev[:, 1:], us_prev[:, -1:]], axis=1
+                    )
+                else:
+                    uguess = jnp.zeros((B, horizon, dc))
+                _, xs, us, Ks, ks = solve(params, obs, uguess, cost_params)
+                u = us[:, 0] + jnp.einsum(
+                    "bij,bj->bi", Ks[:, 0], obs - xs[:, 0]
+                )
+                next_obs = jax.vmap(
+                    lambda o, uu: surrogate.pred_core(surr_params, o, uu)[:n]
+                )(obs, u)
+                return (
+                    next_obs, us if warm_start else us_prev
+                ), (obs, u)
+
+            carry0 = (
+                obs0, jnp.zeros((B, horizon if warm_start else 0, dc))
+            )
+            (last_obs, _), (obs_seq, ctrl_seq) = jax.lax.scan(
+                body, carry0, None, length=n_steps
+            )
+            stage = jax.vmap(jax.vmap(task_cost.eval_obs_cost))(
+                obs_seq
+            ).sum(axis=0) + jax.vmap(task_cost.eval_obs_cost)(last_obs)
+            ctrlc = jax.vmap(jax.vmap(task_cost.eval_ctrl_cost))(
+                ctrl_seq
+            ).sum(axis=0)
+            term = jax.vmap(task_cost.eval_term_obs_cost)(last_obs)
+            total = stage + ctrlc + term
+            return jnp.where(jnp.isfinite(total), total, jnp.inf)
+
+        if mesh is None:
+            eval_jit = jax.jit(eval_batch)
+            n_dev = 1
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(mesh.axis_names[0])
+            in_spec = jax.tree_util.tree_map(
+                lambda _: spec, {"reg": 0, "Qdiag": 0, "Rdiag": 0,
+                                 "Fdiag": 0}
+            )
+            eval_jit = jax.jit(
+                jax.shard_map(
+                    eval_batch, mesh=mesh,
+                    in_specs=(in_spec,), out_specs=spec,
+                    check_vma=False,
+                )
+            )
+            n_dev = int(np.prod(mesh.devices.shape))
+        pad_quantum = n_dev * max(1, -(-8 // n_dev))
+
+        def eval_padded(batch):
+            padded, n_real = pad_to_multiple(batch, pad_quantum)
+            return eval_jit(padded)[:n_real]
+
+        self._eval = eval_padded
+
+    def __call__(self, params_batch):
+        return self._eval(params_batch)
+
+
 class DirectTranscriptionFanout:
     """Evaluate a batch of diagonal quadratic-cost candidates with a
     direct-transcription (SQP) controller synthesized per candidate

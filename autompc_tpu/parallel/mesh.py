@@ -54,6 +54,32 @@ def pad_to_multiple(batch, multiple: int, axis: int = 0):
     return jax.tree_util.tree_map(pad, batch), n
 
 
+def global_batch(batch, mesh: Mesh, axis: str = "config"):
+    """Assemble per-process host data into GLOBAL sharded arrays for a
+    multi-process mesh (the DCN path: every process holds the full host
+    batch, contributes the rows its local devices own, and the result
+    is one global array over the mesh).
+
+    In single-process meshes this is a plain device_put. Each leaf's
+    leading dim must divide evenly over the ``axis`` size.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        # Every process passes the FULL host batch; the explicit
+        # global_shape tells jax to take only the slices this
+        # process's devices own (omitting it would scale the global
+        # shape by process_count).
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=x.shape
+        )
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def shard_vmap(fn, mesh: Optional[Mesh] = None, axis: str = "config"):
     """Lift ``fn`` (one evaluation) to a mesh-sharded batched evaluation:
     input pytrees are vmapped over their leading axis and sharded across

@@ -68,6 +68,8 @@ class PipelineTuner:
         mesh=None,
         fanout_compact=None,
         fanout_warm_start: bool = False,
+        fanout_backward: str = "scan",
+        fanout_feature_kernels: bool = False,
     ):
         """``surrogate_mode``: one of "defaultcfg", "fixedcfg",
         "autotune", "autoselect", "pretrain"
@@ -92,6 +94,12 @@ class PipelineTuner:
         iLQR solve from the previous step's shifted solution instead of
         the reference's zero guess (a beyond-parity option: ~1.6x more
         evals/s, and the evaluated controller is the warm-started MPC).
+
+        ``fanout_backward`` / ``fanout_feature_kernels``: opt the iLQR
+        fan-outs into the Pallas kernels ("pallas" backward; per-lane
+        feature line-search/relinearization kernels for
+        linear-in-features models). TPU-only — the defaults are the
+        CPU-safe XLA scan paths.
         """
         self.surrogate_mode = surrogate_mode
         self.surrogate_factory = surrogate_factory
@@ -105,44 +113,101 @@ class PipelineTuner:
         self.mesh = mesh
         self.fanout_compact = fanout_compact
         self.fanout_warm_start = bool(fanout_warm_start)
+        self.fanout_backward = str(fanout_backward)
+        self.fanout_feature_kernels = bool(fanout_feature_kernels)
 
     def _fanout_kind(self, pipeline, surrogate):
-        """Which fan-out fast path (if any) covers this pipeline:
-        "ilqr" / "mppi" / "dt", or None for the general sequential
-        objective. All paths require a fixed (pre-trained) model, a
-        QuadCostFactory, and an obs-state surrogate."""
+        """Which fan-out fast path (if any) covers this pipeline.
+
+        Returns ``(kind, reason)`` — ``kind`` one of:
+
+        - ``"ilqr"`` / ``"mppi"`` / ``"dt"``: fixed (pre-trained) model,
+          QuadCostFactory, matching controller factory;
+        - ``"joint_sindy"``: JOINT tuning — SINDyFactory model (a fresh
+          model trained per candidate, the reference's flagship
+          scenario) + QuadCostFactory + IterativeLQRFactory, fused as
+          per-lane training + per-lane-model solves
+          (parallel/fanout.py:JointSINDyQuadCostFanout);
+        - ``"joint_arx"``: ARXFactory model — the only model
+          hyperparameter (history) is shape-changing, so each history
+          bucket trains ONE shared model and rides the fixed-model
+          QuadCostFanout;
+        - ``None``: no fast path; ``reason`` says why (the tuner warns
+          when ``use_fanout=True`` falls back — the fallback used to be
+          silent).
+
+        All paths require a QuadCostFactory and an obs-state surrogate.
+        GaussRegFactory / SumCostFactory candidates are NOT diagonal
+        quadratics in the per-lane solver's sense and fall back to the
+        sequential objective.
+        """
         from ..control.ilqr import IterativeLQRFactory
         from ..control.mppi import MPPIFactory
         from ..control.nmpc import DirectTranscriptionControllerFactory
         from ..costs.quad_cost_factory import QuadCostFactory
+        from ..sysid.arx import ARXFactory
+        from ..sysid.sindy import SINDyFactory
 
-        if not (
-            self.use_fanout
-            and pipeline.model is not None
-            and isinstance(pipeline.cost_factory, QuadCostFactory)
-            and surrogate.state_dim == pipeline.system.obs_dim
-        ):
-            return None
+        if not self.use_fanout:
+            return None, "use_fanout=False"
+        if not isinstance(pipeline.cost_factory, QuadCostFactory):
+            return None, (
+                "cost factory is "
+                f"{type(pipeline.cost_factory).__name__}; the per-lane "
+                "solver costs are diagonal quadratics (QuadCostFactory "
+                "space) only"
+            )
+        if surrogate.state_dim != pipeline.system.obs_dim:
+            return None, (
+                "surrogate has lifted state "
+                f"(state_dim={surrogate.state_dim} != obs_dim="
+                f"{pipeline.system.obs_dim}); the fan-out closed loop "
+                "advances observation-state surrogates only"
+            )
         cf = pipeline.controller_factory
-        if isinstance(cf, IterativeLQRFactory):
-            return "ilqr"
-        if isinstance(cf, MPPIFactory):
-            return "mppi"
-        if isinstance(cf, DirectTranscriptionControllerFactory):
-            return "dt"
-        return None
+        if pipeline.model is not None:
+            if isinstance(cf, IterativeLQRFactory):
+                return "ilqr", ""
+            if isinstance(cf, MPPIFactory):
+                return "mppi", ""
+            if isinstance(cf, DirectTranscriptionControllerFactory):
+                return "dt", ""
+            return None, (
+                f"controller factory {type(cf).__name__} has no fan-out "
+                "implementation"
+            )
+        if isinstance(pipeline.model_factory, SINDyFactory):
+            if isinstance(cf, IterativeLQRFactory):
+                return "joint_sindy", ""
+            return None, (
+                "joint SINDy fan-out supports IterativeLQRFactory; got "
+                f"{type(cf).__name__}"
+            )
+        if isinstance(pipeline.model_factory, ARXFactory):
+            if isinstance(cf, IterativeLQRFactory):
+                return "joint_arx", ""
+            return None, (
+                "joint ARX fan-out supports IterativeLQRFactory; got "
+                f"{type(cf).__name__}"
+            )
+        return None, (
+            "joint fan-out covers SINDyFactory/ARXFactory model "
+            f"factories; got {type(pipeline.model_factory).__name__}"
+        )
 
     def _eval_batch_fanout(self, pipeline, task, surrogate, cfgs, fanouts,
-                           kind):
+                           kind, sysid_trajs=None):
         """Evaluate a batch of configurations through shape-bucketed
         sharded fan-outs (one compiled program per bucket of
         shape-changing hyperparameters). Returns costs aligned with
-        cfgs."""
+        cfgs. ``sysid_trajs`` feeds the joint kinds' on-device model
+        training."""
         import jax.numpy as jnp
         import numpy as np
 
         from ..parallel.fanout import (
             DirectTranscriptionFanout,
+            JointSINDyQuadCostFanout,
             MPPIFanout,
             QuadCostFanout,
         )
@@ -170,6 +235,30 @@ class PipelineTuner:
                 return overrides[name]
             return cfg.get(f"_ctrlr:{name}", default)
 
+        # Model-factory hyperparameters resolve the same way
+        # (ModelFactory.__call__: constructor kwargs override cfg).
+        m_over = getattr(pipeline.model_factory, "kwargs", None) or {}
+
+        def mk(cfg, name, default):
+            if name in m_over:
+                return m_over[name]
+            return cfg.get(f"_model:{name}", default)
+
+        def sindy_bucket(cfg):
+            """Shape/trace bucket of a SINDy candidate: the basis-
+            library configuration (one compiled program per bucket;
+            the regularization scalar is traced per lane)."""
+            return dict(
+                method=str(mk(cfg, "method", "lstsq")),
+                time_mode=str(mk(cfg, "time_mode", "discrete")),
+                poly_basis=mk(cfg, "poly_basis", "false"),
+                poly_degree=int(mk(cfg, "poly_degree", 3)),
+                poly_cross_terms=mk(cfg, "poly_cross_terms", "false"),
+                trig_basis=mk(cfg, "trig_basis", "false"),
+                trig_freq=int(mk(cfg, "trig_freq", 1)),
+                trig_interaction=mk(cfg, "trig_interaction", "false"),
+            )
+
         # Bucket by the shape-changing hyperparameters.
         buckets = {}
         for idx, cfg in enumerate(cfgs):
@@ -180,6 +269,12 @@ class PipelineTuner:
                 # Factory horizon is seconds; knots = ceil(h/dt)
                 # (nmpc.py:254).
                 key = int(np.ceil(horizon / system.dt))
+            elif kind == "joint_sindy":
+                key = (
+                    tuple(sorted(sindy_bucket(cfg).items())), int(horizon)
+                )
+            elif kind == "joint_arx":
+                key = (int(mk(cfg, "history", 4)), int(horizon))
             else:
                 key = int(horizon)
             buckets.setdefault(key, []).append(idx)
@@ -189,17 +284,50 @@ class PipelineTuner:
             if key not in fanouts:
                 common = dict(n_steps=n_steps, mesh=self.mesh, goal=goal)
                 if kind == "ilqr":
+                    fs = None
+                    if self.fanout_feature_kernels and hasattr(
+                        pipeline.model, "library"
+                    ):
+                        fs = (pipeline.model.library, "coeffs")
                     fanouts[key] = QuadCostFanout(
                         system, task, pipeline.model, surrogate,
                         horizon=key,
                         compact_schedule=self.fanout_compact,
                         warm_start=self.fanout_warm_start,
+                        backward=self.fanout_backward,
+                        feature_spec=fs,
                         **common,
                     )
                 elif kind == "mppi":
                     fanouts[key] = MPPIFanout(
                         system, task, pipeline.model, surrogate,
                         horizon=key[0], num_path=key[1], **common,
+                    )
+                elif kind == "joint_sindy":
+                    fanouts[key] = JointSINDyQuadCostFanout(
+                        system, task, dict(key[0]), sysid_trajs,
+                        surrogate, horizon=key[1],
+                        compact_schedule=self.fanout_compact,
+                        warm_start=self.fanout_warm_start,
+                        backward=self.fanout_backward,
+                        use_feature_kernels=self.fanout_feature_kernels,
+                        **common,
+                    )
+                elif kind == "joint_arx":
+                    # One shared model per history bucket (the only ARX
+                    # hyperparameter IS the bucket key), then the
+                    # fixed-model fan-out.
+                    from ..sysid.arx import ARX
+
+                    arx = ARX(system, history=key[0])
+                    arx.train(sysid_trajs)
+                    fanouts[key] = QuadCostFanout(
+                        system, task, arx, surrogate,
+                        horizon=key[1],
+                        compact_schedule=self.fanout_compact,
+                        warm_start=self.fanout_warm_start,
+                        backward=self.fanout_backward,
+                        **common,
                     )
                 else:
                     fanouts[key] = DirectTranscriptionFanout(
@@ -229,6 +357,15 @@ class PipelineTuner:
                 )
                 batch["lmda"] = jnp.asarray(
                     [float(ck(cfgs[i], "lmda", 1.0)) for i in idxs]
+                )
+            elif kind == "joint_sindy":
+                method = dict(key[0])["method"]
+                reg_name = (
+                    "lasso_alpha" if method == "lasso" else "threshold"
+                )
+                reg_def = 1.0 if method == "lasso" else 1e-2
+                batch["reg"] = jnp.asarray(
+                    [float(mk(cfgs[i], reg_name, reg_def)) for i in idxs]
                 )
             vals = np.asarray(fanouts[key](batch))
             for j, i in enumerate(idxs):
@@ -371,7 +508,16 @@ class PipelineTuner:
                 costs = list(snap["costs"])
                 infos = [{"surr_cost": c, "surr_traj": None} for c in costs]
 
-        fanout_kind = self._fanout_kind(pipeline, surrogate)
+        fanout_kind, fanout_reason = self._fanout_kind(pipeline, surrogate)
+        if self.use_fanout and fanout_kind is None:
+            import warnings
+
+            warnings.warn(
+                "use_fanout=True but this pipeline has no fan-out fast "
+                f"path ({fanout_reason}); falling back to the "
+                "sequential per-candidate objective",
+                stacklevel=2,
+            )
         fanouts = {}
         fanouts_true = {}
         oracle = None
@@ -387,12 +533,13 @@ class PipelineTuner:
             batch = bo.ask(min(self.eval_batch, remaining))
             if fanout_kind is not None:
                 batch_costs = self._eval_batch_fanout(
-                    pipeline, task, surrogate, batch, fanouts, fanout_kind
+                    pipeline, task, surrogate, batch, fanouts, fanout_kind,
+                    sysid_trajs=sysid_trajs,
                 )
                 if oracle is not None:
                     true_costs = self._eval_batch_fanout(
                         pipeline, task, oracle, batch, fanouts_true,
-                        fanout_kind,
+                        fanout_kind, sysid_trajs=sysid_trajs,
                     )
                     for c, tc in zip(batch_costs, true_costs):
                         infos.append({

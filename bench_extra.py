@@ -186,6 +186,66 @@ def main():
         }
     )
 
+    # --- halfcheetah-scale batched iLQR (ds=18, dc=6, H=200) --------
+    # The multi-control backward pass runs the general time-streamed
+    # Pallas kernel (ops/pallas_riccati.py:
+    # pallas_tvlqr_backward_general); BENCH_HC_ILQR_BACKWARD=scan
+    # measures the XLA-scan backward for comparison. Reference
+    # workload shape: autompc/benchmarks/halfcheetah.py:258-271.
+    from autompc_tpu.control.ilqr import make_batched_ilqr_solver
+
+    hc_cost = QuadCost(
+        hc.system,
+        jnp.eye(18) * 1.0,
+        jnp.eye(6) * 0.01,
+        jnp.eye(18) * 1.0,
+        goal=jnp.zeros(18),
+    )
+    hc_bounds = hc.task.get_ctrl_bounds()
+    hc_B = int(os.environ.get("BENCH_HC_ILQR_B", "1024"))
+    hc_H = int(os.environ.get("BENCH_HC_ILQR_H", "200"))
+    hc_backward = os.environ.get("BENCH_HC_ILQR_BACKWARD", "pallas")
+    hc_solve = jax.jit(make_batched_ilqr_solver(
+        hc_model.pred_core, hc_cost,
+        H=hc_H, ds=18, dc=6, obsdim=18, dt=hc.system.dt,
+        ubounds=(hc_bounds[:, 0], hc_bounds[:, 1]),
+        backward=hc_backward,
+        max_iter=int(os.environ.get("BENCH_HC_ILQR_ITERS", "50")),
+        block_b=int(os.environ.get("BENCH_HC_ILQR_BLOCK", "256")),
+    ))
+    rng_hc = np.random.default_rng(0)
+    hc_x0s = jnp.asarray(
+        rng_hc.uniform(-0.1, 0.1, (hc_B, 18)), dtype=jnp.float32
+    )
+    hc_ug = jnp.zeros((hc_B, hc_H, 6), dtype=jnp.float32)
+    start = time.perf_counter()
+    out = hc_solve(hc_model.params, hc_x0s, hc_ug)
+    jax.block_until_ready(out)
+    print(
+        f"[bench_extra] cheetah iLQR compile+run: "
+        f"{time.perf_counter() - start:.1f}s (B={hc_B}, "
+        f"backward={hc_backward})",
+        file=sys.stderr,
+    )
+    reps = int(os.environ.get("BENCH_HC_ILQR_REPS", "2"))
+    start = time.perf_counter()
+    for r in range(reps):
+        out = hc_solve(hc_model.params, hc_x0s + 0.001 * r, hc_ug)
+        jax.block_until_ready(out)
+    lat = (time.perf_counter() - start) / reps
+    results.append(
+        {
+            "metric": "halfcheetah_ilqr_solves_per_s_per_chip",
+            "ds": 18, "dc": 6, "H": hc_H, "batch": hc_B,
+            "backward": hc_backward,
+            "converged_frac": round(
+                float(np.asarray(out[0]).mean()), 3
+            ),
+            "value": round(hc_B / lat, 2),
+            "unit": "solves/s",
+        }
+    )
+
     # --- model-tuning throughput: bucketed ARX candidate scoring ----
     # (replaces SMAC's one-candidate-at-a-time model tuner; every
     # history candidate trains + scores in one device program,

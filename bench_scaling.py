@@ -64,6 +64,20 @@ def main():
     horizon = int(os.environ.get("SCALE_HORIZON", "10"))
     n_steps = int(os.environ.get("SCALE_STEPS", "50"))
 
+    # SCALE_MODE=joint measures the JOINT AutoML fan-out — the
+    # reference's flagship scenario (a fresh SINDy model trained per
+    # candidate, autompc/tuning/pipeline_tuner.py:213-258): per-lane
+    # STLSQ training + per-lane-model per-lane-cost iLQR closed loop
+    # in one device program (parallel/fanout.py:
+    # JointSINDyQuadCostFanout). Default mode keeps the fixed-model
+    # cost/controller fan-out.
+    mode = os.environ.get("SCALE_MODE", "fixed")
+    sindy_cfg = dict(
+        method="lstsq", trig_basis=True, trig_freq=1,
+        trig_interaction=True, time_mode="discrete",
+    )
+    trajs_list = trajs.to_list()
+
     rng = np.random.default_rng(0)
     results = []
     for n_dev in sizes:
@@ -71,24 +85,39 @@ def main():
         # SCALE_COMPACT="15:0.5,30:0.25" sets the converged-lane
         # compaction schedule (empty string disables); SCALE_IMPL=vmap
         # selects the per-candidate vmapped formulation.
-        fanout = QuadCostFanout(
-            benchmark.system, benchmark.task, model, model,
-            horizon=horizon, n_steps=n_steps, mesh=mesh,
-            goal=np.zeros(4),
-            impl=os.environ.get("SCALE_IMPL", "batched"),
-            compact_schedule=compact,
-            backward=backward,
-            feature_spec=(
-                (model.library, "coeffs") if ls == "pallas" else None
-            ),
-            warm_start=bool(os.environ.get("SCALE_WARM")),
-        )
+        if mode == "joint":
+            from autompc_tpu.parallel.fanout import JointSINDyQuadCostFanout
+
+            fanout = JointSINDyQuadCostFanout(
+                benchmark.system, benchmark.task, sindy_cfg, trajs_list,
+                model, horizon=horizon, n_steps=n_steps, mesh=mesh,
+                goal=np.zeros(4),
+                compact_schedule=compact,
+                backward=backward,
+                use_feature_kernels=(ls == "pallas"),
+                warm_start=bool(os.environ.get("SCALE_WARM")),
+            )
+        else:
+            fanout = QuadCostFanout(
+                benchmark.system, benchmark.task, model, model,
+                horizon=horizon, n_steps=n_steps, mesh=mesh,
+                goal=np.zeros(4),
+                impl=os.environ.get("SCALE_IMPL", "batched"),
+                compact_schedule=compact,
+                backward=backward,
+                feature_spec=(
+                    (model.library, "coeffs") if ls == "pallas" else None
+                ),
+                warm_start=bool(os.environ.get("SCALE_WARM")),
+            )
         B = per_device * n_dev
         batch = {
             "Qdiag": jnp.asarray(10 ** rng.uniform(-1, 1.5, (B, 4))),
             "Fdiag": jnp.asarray(10 ** rng.uniform(-1, 1.5, (B, 4))),
             "Rdiag": jnp.asarray(10 ** rng.uniform(-3, 0, (B, 1))),
         }
+        if mode == "joint":
+            batch["reg"] = jnp.asarray(10 ** rng.uniform(-4, -1, B))
         out = fanout(batch)  # compile + warmup
         jax.block_until_ready(out)
         reps = 3
@@ -102,10 +131,64 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "surrogate_closed_loop_evals_per_s",
+                    "metric": (
+                        "joint_automl_evals_per_s" if mode == "joint"
+                        else "surrogate_closed_loop_evals_per_s"
+                    ),
                     "n_devices": n_dev,
                     "value": round(evals_per_s, 2),
                     "unit": "evals/s",
+                }
+            )
+        )
+
+    if mode == "joint" and os.environ.get("SCALE_SEQ", "1") != "0":
+        # Sequential baseline: the reference-shaped objective — train a
+        # fresh SINDy per candidate, then a host-driven closed loop of
+        # per-step iLQR solves (simulate() semantics). Same workload,
+        # one candidate at a time.
+        from autompc_tpu.control.ilqr import make_ilqr_solver
+        from autompc_tpu.costs import QuadCost
+
+        n_seq = int(os.environ.get("SCALE_SEQ_N", "3"))
+        bounds = benchmark.task.get_ctrl_bounds()
+        start = time.perf_counter()
+        for i in range(n_seq):
+            m = SINDy(
+                benchmark.system, threshold=float(10 ** rng.uniform(-4, -1)),
+                **sindy_cfg,
+            )
+            m.train(trajs_list)
+            cost = QuadCost(
+                benchmark.system,
+                jnp.diag(jnp.asarray(10 ** rng.uniform(-1, 1.5, 4))),
+                jnp.diag(jnp.asarray(10 ** rng.uniform(-3, 0, 1))),
+                jnp.diag(jnp.asarray(10 ** rng.uniform(-1, 1.5, 4))),
+                goal=jnp.zeros(4),
+            )
+            solve = jax.jit(make_ilqr_solver(
+                m.pred_core, cost, H=horizon, ds=4, dc=1, obsdim=4,
+                dt=benchmark.system.dt,
+                ubounds=(bounds[:, 0], bounds[:, 1]),
+            ))
+            obs = jnp.asarray(benchmark.task.get_init_obs())
+            for _ in range(n_steps):
+                _, xs, us, Ks, ks = solve(
+                    m.params, obs, jnp.zeros((horizon, 1))
+                )
+                obs = model.pred_core(model.params, obs, us[0])[:4]
+            jax.block_until_ready(obs)
+        seq_elapsed = time.perf_counter() - start
+        seq_evals_per_s = n_seq / seq_elapsed
+        fan_per_dev = results[0][1] / results[0][0]
+        print(
+            json.dumps(
+                {
+                    "metric": "joint_fanout_speedup_vs_sequential",
+                    "sequential_evals_per_s": round(seq_evals_per_s, 3),
+                    "fanout_evals_per_s_per_device": round(fan_per_dev, 2),
+                    "value": round(fan_per_dev / seq_evals_per_s, 1),
+                    "unit": "x (per device)",
                 }
             )
         )

@@ -424,3 +424,61 @@ def test_feature_mask_validation(setup):
             feature_spec=(model.library, "coeffs"),
             feature_mask=[False] * model.library.n_features, **common
         )
+
+
+def test_batch_params_matches_vmapped_single(setup):
+    """batch_params=True (one model per lane) == vmap of the single
+    solver over (params, x0, uguess)."""
+    b, model, cost, common = setup
+    # Three genuinely different SINDy fits (different STLSQ thresholds).
+    trajs = b.gen_trajs_batch(seed=7, n_trajs=40, traj_len=60)
+    coeffs = []
+    for thr in (1e-4, 1e-3, 1e-2):
+        m = SINDy(
+            b.system, method="lstsq", threshold=thr,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        m.train(trajs)
+        coeffs.append(m.coeffs)
+    params_b = {"coeffs": jnp.stack(coeffs)}
+    B = 3
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 4)))
+    ug = jnp.zeros((B, common["H"], 1))
+
+    single = make_ilqr_solver(model.pred_core, cost, **common)
+    out_v = jax.jit(jax.vmap(single, in_axes=(0, 0, 0)))(
+        params_b, x0s, ug
+    )
+    batched = jax.jit(make_batched_ilqr_solver(
+        model.pred_core, cost, backward="scan", batch_params=True,
+        **common,
+    ))
+    out_b = batched(params_b, x0s, ug)
+    np.testing.assert_array_equal(np.asarray(out_v[0]), np.asarray(out_b[0]))
+    for a, v in zip(out_b[1:], out_v[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(v), atol=1e-8)
+
+    # Per-lane params + per-lane quadratic costs + compaction: the
+    # joint-tuning configuration. Scheduled == unscheduled.
+    from autompc_tpu.control.ilqr import make_scheduled_ilqr_solver
+
+    cps = dict(
+        Qdiag=jnp.asarray(rng.uniform(0.01, 10, (B, 4))),
+        Rdiag=jnp.asarray(rng.uniform(1e-3, 1, (B, 1))),
+        Fdiag=jnp.asarray(rng.uniform(0.01, 10, (B, 4))),
+    )
+    kw = dict(common, backward="scan", batch_params=True,
+              quad_cost_batch=True, quad_goal=jnp.zeros(4))
+    plain = jax.jit(make_batched_ilqr_solver(model.pred_core, None, **kw))
+    sched = jax.jit(make_scheduled_ilqr_solver(
+        model.pred_core, None, schedule=((4, 0.5),), **kw
+    ))
+    out_p = plain(params_b, x0s, ug, cps)
+    out_s = sched(params_b, x0s, ug, cps)
+    for a, v in zip(out_s, out_p):
+        np.testing.assert_allclose(
+            np.asarray(a).astype(float), np.asarray(v).astype(float),
+            atol=1e-8,
+        )

@@ -285,3 +285,37 @@ def test_multi_block(model):
     )
     assert ls_xs.shape == (B, 2, H + 1, ds)
     assert np.isfinite(np.asarray(ls_xs)).all()
+
+
+def test_per_lane_coeffs_matches_shared_calls(model):
+    """coeffs (B, ds, F) — the joint fan-out's one-model-per-lane mode —
+    must equal B separate shared-coeff kernel calls."""
+    rng = np.random.default_rng(5)
+    B, H, ds = 4, 6, 4
+    fns = tuple(model.library._fns)
+    x0 = jnp.asarray(rng.uniform(-1, 1, (B, ds)))
+    xs = jnp.asarray(rng.uniform(-1, 1, (B, H + 1, ds)))
+    us = jnp.asarray(rng.uniform(-1, 1, (B, H, 1)))
+    Ks = jnp.asarray(rng.uniform(-0.3, 0.3, (B, H, 1, ds)))
+    ks = jnp.asarray(rng.uniform(-0.3, 0.3, (B, H, 1)))
+    alphas = 0.2 ** jnp.arange(4)
+    # Per-lane coefficient planes: the trained model perturbed per lane.
+    coeffs = jnp.stack(
+        [model.coeffs * (1.0 + 0.1 * i) for i in range(B)]
+    )
+    out_xs, out_us = pallas_sindy_line_search(
+        fns, x0, xs, us, Ks, ks, coeffs, alphas, -20.0, 20.0,
+        block_b=B, interpret=True,
+    )
+    for i in range(B):
+        ref_xs, ref_us = pallas_sindy_line_search(
+            fns, x0[i:i + 1], xs[i:i + 1], us[i:i + 1], Ks[i:i + 1],
+            ks[i:i + 1], coeffs[i], alphas, -20.0, 20.0,
+            block_b=1, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_xs[i]), np.asarray(ref_xs[0]), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_us[i]), np.asarray(ref_us[0]), atol=1e-12
+        )

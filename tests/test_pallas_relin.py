@@ -265,3 +265,32 @@ def test_pick_block_h():
     assert _pick_block_h(200, 8) == 8
     assert _pick_block_h(7, 32) == 7
     assert _pick_block_h(13, 4) == 1
+
+
+def test_per_lane_coeffs_matches_shared_calls(model):
+    """coeffs (B, ds, F) per-lane mode equals B shared-coeff calls, on
+    both the jvp and the sparse-analytic-gradient paths."""
+    rng = np.random.default_rng(9)
+    B, H, ds = 4, 8, 4
+    fns = tuple(model.library._fns)
+    xs = jnp.asarray(rng.uniform(-1, 1, (B, H + 1, ds)))
+    us = jnp.asarray(rng.uniform(-1, 1, (B, H, 1)))
+    coeffs = jnp.stack(
+        [model.coeffs * (1.0 + 0.1 * i) for i in range(B)]
+    )
+    for gts in (None, model.library.grad_terms):
+        Jx, Ju = pallas_feature_jacobians(
+            fns, xs, us, coeffs, grad_terms=gts,
+            block_b=B, interpret=True,
+        )
+        for i in range(B):
+            rx, ru = pallas_feature_jacobians(
+                fns, xs[i:i + 1], us[i:i + 1], coeffs[i],
+                grad_terms=gts, block_b=1, interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(Jx[i]), np.asarray(rx[0]), atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(Ju[i]), np.asarray(ru[0]), atol=1e-12
+            )

@@ -119,3 +119,68 @@ def test_quad_backward_matches_explicit_expansions():
         np.testing.assert_allclose(
             np.asarray(quad_q[b]), np.asarray(quad_s), rtol=1e-9, atol=1e-12
         )
+
+
+def make_problem_mc(B, H, ds, dc, seed=0, dtype=jnp.float64):
+    """Multi-control problem with SPD Cuu (per-lane Cholesky)."""
+    rng = np.random.default_rng(seed)
+    Jx = jnp.asarray(rng.normal(size=(B, H, ds, ds)) * 0.3, dtype)
+    Ju = jnp.asarray(rng.normal(size=(B, H, ds, dc)), dtype)
+    Cxx = jnp.asarray(
+        np.broadcast_to(np.eye(ds), (B, H, ds, ds)).copy(), dtype
+    )
+    M = rng.normal(size=(B, H, dc, dc)) * 0.2
+    Cuu = jnp.asarray(
+        M @ np.swapaxes(M, -1, -2) + 0.5 * np.eye(dc), dtype
+    )
+    cx = jnp.asarray(rng.normal(size=(B, H, ds)), dtype)
+    cu = jnp.asarray(rng.normal(size=(B, H, dc)), dtype)
+    Vn = jnp.asarray(
+        np.broadcast_to(2 * np.eye(ds), (B, ds, ds)).copy(), dtype
+    )
+    vn = jnp.asarray(rng.normal(size=(B, ds)), dtype)
+    return Jx, Ju, Cxx, Cuu, cx, cu, Vn, vn
+
+
+@pytest.mark.parametrize(
+    "ds,dc,H,B", [(4, 1, 12, 8), (5, 3, 10, 8)]
+)
+def test_general_kernel_matches_scan(ds, dc, H, B):
+    """The any-(ds, dc) time-streamed kernel vs the scan reference.
+    (dc=3 exercises every multi-control path incl. the off-diagonal
+    Cholesky terms. The halfcheetah shape ds=18/dc=6 is NOT run here:
+    interpret mode executes the ~20k-slab-op cell body op-by-op in
+    Python and takes >20 min even at H=2; that shape is validated
+    compiled-on-TPU by tools/check_general_backward_tpu.py and
+    benched in bench_extra.py.)"""
+    from autompc_tpu.ops.pallas_riccati import pallas_tvlqr_backward_general
+
+    args = make_problem_mc(B, H, ds, dc, seed=ds + dc)
+    Ks_p, ks_p, lin_p, quad_p = pallas_tvlqr_backward_general(
+        *args, block_b=B, interpret=True
+    )
+    Ks_s, ks_s, lin_s, quad_s = jax.vmap(tvlqr_backward_scan)(*args)
+    np.testing.assert_allclose(
+        np.asarray(Ks_p), np.asarray(Ks_s), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(ks_p), np.asarray(ks_s), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(lin_p), np.asarray(lin_s), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(quad_p), np.asarray(quad_s), rtol=1e-8
+    )
+
+
+def test_general_kernel_multi_block_grid():
+    from autompc_tpu.ops.pallas_riccati import pallas_tvlqr_backward_general
+
+    args = make_problem_mc(16, 8, 3, 2, seed=5)
+    out_p = pallas_tvlqr_backward_general(*args, block_b=4, interpret=True)
+    out_s = jax.vmap(tvlqr_backward_scan)(*args)
+    for a, b in zip(out_p, out_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10
+        )

@@ -193,6 +193,125 @@ class TestPipelineTunerFanout:
             else:
                 assert np.isinf(cs) == np.isinf(cf)
 
+    @pytest.mark.slow
+    def test_joint_sindy_fanout_matches_sequential(self, benchmark, trajs):
+        """JOINT tuning (model factory, not a fixed model): per-candidate
+        SINDy training + cost + controller, fused on the fan-out path,
+        must score candidates identically to the sequential
+        train-per-candidate objective (the reference's flagship loop,
+        autompc/tuning/pipeline_tuner.py:213-258)."""
+        from autompc_tpu.sysid import SINDy
+
+        surrogate = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        surrogate.train(trajs)
+
+        def make_pipeline():
+            return Pipeline(
+                benchmark.system,
+                SINDyFactory(
+                    benchmark.system,
+                    method="lstsq", time_mode="discrete",
+                    poly_basis="false", trig_basis="true", trig_freq=1,
+                    trig_interaction="true",
+                ),
+                QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+                IterativeLQRFactory(benchmark.system, horizon=6),
+            )
+
+        task = benchmark.task.copy()
+        task.set_num_steps(25)
+
+        seq = PipelineTuner(surrogate_mode="pretrain", eval_batch=2)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=2, use_fanout=True
+        )
+        rng1 = np.random.default_rng(3)
+        rng2 = np.random.default_rng(3)
+        _, res_seq = seq.run(
+            make_pipeline(), task, trajs, n_iters=4, rng=rng1,
+            surrogate=surrogate,
+        )
+        _, res_fan = fan.run(
+            make_pipeline(), task, trajs, n_iters=4, rng=rng2,
+            surrogate=surrogate,
+        )
+        for cs, cf in zip(res_seq.costs, res_fan.costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=1e-6, abs=1e-6), (
+                    res_seq.costs, res_fan.costs,
+                )
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
+
+    def test_joint_arx_fanout_runs(self, benchmark, trajs):
+        """Joint ARX tuning: history buckets train one shared model and
+        ride the fixed-model fan-out; costs are finite and the history
+        hyperparameter reaches the bucket key."""
+        pipeline = Pipeline(
+            benchmark.system,
+            ARXFactory(benchmark.system),
+            QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+            IterativeLQRFactory(benchmark.system, horizon=5),
+        )
+        from autompc_tpu.sysid import SINDy
+
+        surrogate = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        surrogate.train(trajs)
+        task = benchmark.task.copy()
+        task.set_num_steps(15)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=2, use_fanout=True
+        )
+        kind, reason = fan._fanout_kind(pipeline, surrogate)
+        assert kind == "joint_arx", reason
+        _, res = fan.run(
+            pipeline, task, trajs, n_iters=2,
+            rng=np.random.default_rng(0), surrogate=surrogate,
+        )
+        assert len(res.costs) == 2
+
+    def test_fanout_fallback_warns_with_reason(self, benchmark, trajs):
+        """use_fanout=True with an uncovered pipeline (GaussRegFactory
+        cost) warns instead of silently degrading to the sequential
+        path (round-1 VERDICT item 10)."""
+        from autompc_tpu.costs import GaussRegFactory
+        from autompc_tpu.sysid import SINDy
+
+        surrogate = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        surrogate.train(trajs)
+        model = surrogate
+        pipeline = Pipeline(
+            benchmark.system,
+            model,
+            GaussRegFactory(benchmark.system),
+            IterativeLQRFactory(benchmark.system, horizon=5),
+        )
+        task = benchmark.task.copy()
+        task.set_num_steps(10)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=1, use_fanout=True
+        )
+        kind, reason = fan._fanout_kind(pipeline, surrogate)
+        assert kind is None
+        assert "QuadCostFactory" in reason
+        with pytest.warns(UserWarning, match="no fan-out fast path"):
+            fan.run(
+                pipeline, task, trajs, n_iters=1,
+                rng=np.random.default_rng(0), surrogate=surrogate,
+            )
+
     def test_mppi_fanout_matches_sequential(self, benchmark, trajs):
         """MPPI-backed pipelines take the fan-out fast path and score
         candidates identically to the sequential objective (same PRNG
