@@ -174,6 +174,85 @@ def solve_unrolled(A, B):
     return M[:, n:]
 
 
+# ---------------------------------------------------------------------------
+# Element algebra of the parallel Riccati recursion — shared by the
+# single-device associative scan (tvlqr_backward_assoc) and the
+# cross-shard block-parallel backward (parallel/horizon.py). Elements
+# are 5-tuples (A, b, C, eta, J); see tvlqr_backward_assoc's docstring
+# for the derivation.
+# ---------------------------------------------------------------------------
+
+
+def tvlqr_element(Jx, Ju, Q, R, q, r, d, reg=0.0):
+    """Per-step element. Sign convention: the value map uses
+    ``(v + V b)`` with ``b = d - Ju (R + reg)^{-1} r``."""
+    dc = Ju.shape[1]
+    eye_u = jnp.eye(dc, dtype=Jx.dtype)
+    Rt = R + reg * eye_u
+    RiJu = solve_small(Rt, Ju.T)               # (dc, ds)
+    C = Ju @ RiJu                              # (ds, ds)
+    b = d - Ju @ solve_small(Rt, r)            # (ds,)
+    return Jx, b, C, q, Q
+
+
+def tvlqr_identity_element(ds, dtype):
+    """Identity of the combine monoid: composing with it (on either
+    side) is a no-op."""
+    return (
+        jnp.eye(ds, dtype=dtype),
+        jnp.zeros(ds, dtype=dtype),
+        jnp.zeros((ds, ds), dtype=dtype),
+        jnp.zeros(ds, dtype=dtype),
+        jnp.zeros((ds, ds), dtype=dtype),
+    )
+
+
+def tvlqr_combine(earlier, later):
+    """Compose two elements; ``earlier`` is earlier in time (the
+    composed element applies the later map first)."""
+    Ai, bi, Ci, etai, Ji = earlier
+    Aj, bj, Cj, etaj, Jj = later
+    ds = Ai.shape[0]
+    eye = jnp.eye(ds, dtype=Ai.dtype)
+    D = solve_unrolled(eye + Ci @ Jj, eye)
+    Dt = solve_unrolled(eye + Jj @ Ci, eye)
+    A = Aj @ D @ Ai
+    C = Aj @ D @ Ci @ Aj.T + Cj
+    b = Aj @ D @ (bi - Ci @ etaj) + bj
+    eta = Ai.T @ Dt @ (etaj + Jj @ bi) + etai
+    J = Ai.T @ Dt @ Jj @ Ai + Ji
+    return A, b, C, eta, J
+
+
+def tvlqr_apply_element(elem, Vn, vn):
+    """Apply a (suffix-composed) element to the terminal expansion,
+    producing the value expansion (V_t, v_t) at the element's start."""
+    A, b, C, eta, J = elem
+    ds = A.shape[0]
+    eye = jnp.eye(ds, dtype=A.dtype)
+    WM = solve_unrolled(
+        eye + Vn @ C,
+        jnp.concatenate([Vn, (vn + Vn @ b)[:, None]], axis=1),
+    )
+    W, Mv = WM[:, :ds], WM[:, ds]
+    return J + A.T @ W @ A, eta + A.T @ Mv
+
+
+def tvlqr_gains(Jx, Ju, R, r, d, V, v, reg=0.0):
+    """Pointwise gains from the NEXT-step value expansion; returns
+    (K, k, lin_term, quad_term)."""
+    dc = Ju.shape[1]
+    eye_u = jnp.eye(dc, dtype=Jx.dtype)
+    v_eff = v + V @ d
+    JuV = Ju.T @ V
+    Quu = R + reg * eye_u + JuV @ Ju
+    Qux = JuV @ Jx
+    qu = r + Ju.T @ v_eff
+    K = -solve_small(Quu, Qux)
+    k = -solve_small(Quu, qu)
+    return K, k, qu @ k, k @ Quu @ k
+
+
 def tvlqr_backward_assoc(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn,
                          d_seq=None, reg=0.0):
     """Parallel-in-time TVLQR backward pass: O(log H) depth via
@@ -213,78 +292,42 @@ def tvlqr_backward_assoc(Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, Vn, vn,
     ``tvlqr_backward_scan`` to f32 reassociation; exact in f64.
     """
     H, ds, dc = Jacs_u.shape
-    eye = jnp.eye(ds, dtype=Vn.dtype)
-    eye_u = jnp.eye(dc, dtype=Vn.dtype)
     if d_seq is None:
         d_seq = jnp.zeros((H, ds), dtype=Vn.dtype)
 
-    # Per-step elements. Note sign convention: the value map uses
-    # (v + V b) with b = d - Ju (Cuu + reg)^{-1} cu.
-    def element(Jx, Ju, Q, R, q, r, d):
-        Rt = R + reg * eye_u
-        RiJu = solve_small(Rt, Ju.T)          # (dc, ds) = Rt^{-1} Ju'
-        C = Ju @ RiJu                          # (ds, ds)
-        b = d - Ju @ solve_small(Rt, r)        # (ds,)
-        return Jx, b, C, q, Q
-
-    A_e, b_e, C_e, eta_e, J_e = jax.vmap(element)(
+    elems = jax.vmap(lambda *a: tvlqr_element(*a, reg=reg))(
         Jacs_x, Jacs_u, Cxx, Cuu, cx, cu, d_seq
     )
+    suffix = tvlqr_suffix_scan(elems)
 
-    def combine(earlier, later):
-        Ai, bi, Ci, etai, Ji = earlier
-        Aj, bj, Cj, etaj, Jj = later
-        D = solve_unrolled(eye + Ci @ Jj, eye)
-        Dt = solve_unrolled(eye + Jj @ Ci, eye)
-        A = Aj @ D @ Ai
-        C = Aj @ D @ Ci @ Aj.T + Cj
-        b = Aj @ D @ (bi - Ci @ etaj) + bj
-        eta = Ai.T @ Dt @ (etaj + Jj @ bi) + etai
-        J = Ai.T @ Dt @ Jj @ Ai + Ji
-        return A, b, C, eta, J
-
-    # Suffix compositions: E_t = e_t (*) e_{t+1} (*) ... (*) e_{H-1}.
-    # Flip time via a gather (NOT reverse=True / jnp.flip: the Reverse
-    # HLO trips an XLA-CPU AlgebraicSimplifier check-failure when this
-    # runs inside vmap+while_loop), scan forward, and unflip. After the
-    # flip the accumulated first combine argument is the LATER-in-time
-    # block, so swap into combine's (earlier, later) signature.
-    idx = jnp.arange(H - 1, -1, -1)
-    flip = lambda x: jnp.take(x, idx, axis=0)
-    flipped = jax.tree_util.tree_map(
-        flip, (A_e, b_e, C_e, eta_e, J_e)
-    )
-    suffix_flipped = jax.lax.associative_scan(
-        jax.vmap(lambda a, b: combine(b, a)), flipped
-    )
-    suffix = jax.tree_util.tree_map(flip, suffix_flipped)
-
-    def apply_elem(A, b, C, eta, J):
-        WM = solve_unrolled(
-            eye + Vn @ C,
-            jnp.concatenate([Vn, (vn + Vn @ b)[:, None]], axis=1),
-        )
-        W, Mv = WM[:, :ds], WM[:, ds]
-        return J + A.T @ W @ A, eta + A.T @ Mv
-
-    V_all, v_all = jax.vmap(apply_elem)(*suffix)       # t = 0..H-1
+    V_all, v_all = jax.vmap(
+        lambda *e: tvlqr_apply_element(e, Vn, vn)
+    )(*suffix)                                          # t = 0..H-1
     V_next = jnp.concatenate([V_all[1:], Vn[None]], axis=0)
     v_next = jnp.concatenate([v_all[1:], vn[None]], axis=0)
 
-    def gains(Jx, Ju, R, r, d, V, v):
-        v_eff = v + V @ d
-        JuV = Ju.T @ V
-        Quu = R + reg * eye_u + JuV @ Ju
-        Qux = JuV @ Jx
-        qu = r + Ju.T @ v_eff
-        K = -solve_small(Quu, Qux)
-        k = -solve_small(Quu, qu)
-        return K, k, qu @ k, k @ Quu @ k
-
-    Ks, ks, lin_t, quad_t = jax.vmap(gains)(
-        Jacs_x, Jacs_u, Cuu, cu, d_seq, V_next, v_next
-    )
+    Ks, ks, lin_t, quad_t = jax.vmap(
+        lambda *a: tvlqr_gains(*a, reg=reg)
+    )(Jacs_x, Jacs_u, Cuu, cu, d_seq, V_next, v_next)
     return Ks, ks, jnp.sum(lin_t), jnp.sum(quad_t)
+
+
+def tvlqr_suffix_scan(elems):
+    """Suffix compositions E_t = e_t (*) e_{t+1} (*) ... (*) e_{H-1}
+    via ``lax.associative_scan``. Flips time via a gather (NOT
+    reverse=True / jnp.flip: the Reverse HLO trips an XLA-CPU
+    AlgebraicSimplifier check-failure when this runs inside
+    vmap+while_loop), scans forward, and unflips; after the flip the
+    accumulated first combine argument is the LATER-in-time block, so
+    the arguments swap into combine's (earlier, later) signature."""
+    H = elems[0].shape[0]
+    idx = jnp.arange(H - 1, -1, -1)
+    flip = lambda x: jnp.take(x, idx, axis=0)
+    flipped = jax.tree_util.tree_map(flip, elems)
+    suffix_flipped = jax.lax.associative_scan(
+        jax.vmap(lambda a, b: tvlqr_combine(b, a)), flipped
+    )
+    return jax.tree_util.tree_map(flip, suffix_flipped)
 
 
 # ---------------------------------------------------------------------------
