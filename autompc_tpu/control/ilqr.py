@@ -263,8 +263,10 @@ def make_batched_ilqr_solver(
     coefficient planes (VMEM lanes-last instead of SMEM), and the
     backward pass is unchanged (it consumes Jacobians, not params).
     Converged-lane compaction gathers the params rows alongside the
-    rest of the carry. Incompatible with ``fuse_ls`` (that kernel reads
-    one fixed cost's matrices).
+    rest of the carry. Composes with ``fuse_ls`` + ``quad_cost_batch``:
+    the fused line-search kernel takes per-lane coefficient planes and
+    per-lane diagonal cost rows (ops/pallas_linesearch.py:
+    pallas_fused_line_search(per_lane_diag_cost=True)).
 
     ``return_pieces=True`` additionally returns the solver's building
     blocks ``(solve, make_carry0, cond, make_body)`` — the outer
@@ -356,11 +358,6 @@ def make_batched_ilqr_solver(
     if relin == "pallas" and feature_spec is None:
         raise ValueError("relin='pallas' needs feature_spec")
     use_pallas_relin = feature_spec is not None and relin != "xla"
-    if batch_params and fuse_ls:
-        raise ValueError(
-            "fuse_ls reads one fixed cost inside the kernel; "
-            "incompatible with batch_params"
-        )
     p_ax = 0 if batch_params else None
 
     if feature_mask is not None:
@@ -492,11 +489,6 @@ def make_batched_ilqr_solver(
         return jnp.concatenate([x0[None], xs1], axis=0), Jx, Ju
 
     if quad_cost_batch:
-        if fuse_ls:
-            raise ValueError(
-                "fuse_ls reads one fixed cost's matrices inside the "
-                "kernel; incompatible with quad_cost_batch"
-            )
         goal = (
             jnp.zeros(obsdim) if quad_goal is None
             else jnp.asarray(quad_goal)
@@ -691,7 +683,9 @@ def make_batched_ilqr_solver(
                 umax if ubounds is not None else jnp.full((dc,), jnp.inf)
             )
             fused_jac = None
-            if feature_spec is not None and fuse_ls and cost.is_quad:
+            if feature_spec is not None and fuse_ls and (
+                quad_cost_batch or cost.is_quad
+            ):
                 from ..ops.pallas_linesearch import pallas_fused_line_search
 
                 library, coeffs_key = feature_spec
@@ -702,14 +696,27 @@ def make_batched_ilqr_solver(
                 # gradients (and the solver isn't pinned to relin="xla")
                 # — deletes the separate relin dispatch from the body.
                 fuse_relin = gts_a is not None and use_pallas_relin
+                if quad_cost_batch:
+                    goal_f = (
+                        jnp.zeros(obsdim) if quad_goal is None
+                        else jnp.asarray(quad_goal)
+                    )
+                    cost_args = (
+                        cp["Qdiag"], cp["Rdiag"], cp["Fdiag"], goal_f,
+                    )
+                    per_lane = True
+                else:
+                    cost_args = (cost._Q, cost._R, cost._F, cost._goal)
+                    per_lane = False
                 outs = pallas_fused_line_search(
                     fns_a, x0s, xs, us, Ks, ks,
                     sel(pp[coeffs_key]), alphas, ls_umin, ls_umax,
-                    cost._Q, cost._R, cost._F, cost._goal, dt,
+                    *cost_args, dt,
                     c["obj"], lin_red, quad_red, ks_small,
                     grad_terms=gts_a if fuse_relin else None,
                     ls_cost_threshold=ls_cost_threshold,
                     block_b=TB if B % TB == 0 else B,
+                    per_lane_diag_cost=per_lane,
                 )
                 (new_xs, new_us, new_obj, ls_success,
                  failed_now) = outs[:5]

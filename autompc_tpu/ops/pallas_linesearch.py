@@ -241,7 +241,7 @@ def _tree_sum(vals):
 
 
 def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
-                  ls_thresh,
+                  ls_thresh, diag_cost,
                   x0_ref, xs_ref, us_ref, Ks_ref, ks_ref, coeffs_ref,
                   alphas_ref, umin_ref, umax_ref,
                   Q_ref, R_ref, F_ref, goal_ref,
@@ -286,6 +286,14 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
         return u
 
     def quad_form(vec, M_ref, n):
+        if diag_cost:
+            # Per-lane DIAGONAL cost: M_ref is an (n, TB) VMEM plane,
+            # each row a lane-vector of diagonal entries (the
+            # QuadCostFactory search space — the joint tuning fan-out's
+            # per-candidate costs).
+            return _tree_sum(
+                [M_ref[i] * vec[i] * vec[i] for i in range(n)]
+            )
         terms = []
         for i in range(n):
             for j in range(n):
@@ -437,7 +445,7 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     jax.jit,
     static_argnames=(
         "term_fns", "grad_terms", "dt", "ls_cost_threshold", "block_b",
-        "interpret",
+        "interpret", "per_lane_diag_cost",
     ),
 )
 def pallas_fused_line_search(
@@ -446,6 +454,7 @@ def pallas_fused_line_search(
     grad_terms=None,
     ls_cost_threshold: float = 0.3,
     block_b: int = 128, interpret: bool = False,
+    per_lane_diag_cost: bool = False,
 ):
     """Fused line search for linear-in-features models and quadratic
     costs: rolls all alphas, evaluates the iLQR objective in-register,
@@ -465,6 +474,12 @@ def pallas_fused_line_search(
     outputs, eliminating the separate relinearization kernel dispatch
     from the iLQR body.
 
+    ``coeffs`` may be (ds, F) shared or (B, ds, F) per-lane (joint
+    tuning fan-out).  ``per_lane_diag_cost=True`` switches the cost
+    inputs to per-lane DIAGONALS — Q/F (B, obsdim), R (B, dc), shared
+    ``goal`` — the QuadCostFactory candidate space; they ride VMEM
+    lanes-last like the coefficients.
+
     Returns (new_xs (B, H+1, ds), new_us (B, H, dc), new_obj (B,),
     ls_success (B,) bool, failed (B,) bool)
     [+ (Jx (B, H, ds, ds), Ju (B, H, ds, dc)) when grad_terms is given].
@@ -473,7 +488,7 @@ def pallas_fused_line_search(
     H = Hp1 - 1
     dc = us.shape[-1]
     L = alphas.shape[0]
-    obsdim = Q.shape[0]
+    obsdim = Q.shape[-1]
     TB = min(block_b, B)
     if B % TB != 0:
         raise ValueError(f"batch {B} not divisible by block {TB}")
@@ -496,7 +511,7 @@ def pallas_fused_line_search(
 
     kernel = functools.partial(
         _fused_kernel, term_fns, grad_terms, ds, dc, obsdim, H, L,
-        float(dt), float(ls_cost_threshold),
+        float(dt), float(ls_cost_threshold), bool(per_lane_diag_cost),
     )
     grid = (B // TB,)
 
@@ -510,6 +525,29 @@ def pallas_fused_line_search(
     def sspec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.SMEM)
+
+    if coeffs.ndim == 3:
+        coeffs_in = jnp.transpose(coeffs, (1, 2, 0)).astype(dtype)
+        coeffs_spec = vspec(coeffs.shape[1:])
+    else:
+        coeffs_in = coeffs.astype(dtype)
+        coeffs_spec = sspec(coeffs.shape)
+
+    if per_lane_diag_cost:
+        Q_in = jnp.transpose(Q, (1, 0)).astype(dtype)    # (obsdim, B)
+        R_in = jnp.transpose(R, (1, 0)).astype(dtype)    # (dc, B)
+        F_in = jnp.transpose(F, (1, 0)).astype(dtype)
+        Q_spec, R_spec, F_spec = (
+            vspec((obsdim,)), vspec((dc,)), vspec((obsdim,))
+        )
+    else:
+        Q_in = jnp.asarray(Q, dtype=dtype)
+        R_in = jnp.asarray(R, dtype=dtype)
+        F_in = jnp.asarray(F, dtype=dtype)
+        Q_spec, R_spec, F_spec = (
+            sspec((obsdim, obsdim)), sspec((dc, dc)),
+            sspec((obsdim, obsdim)),
+        )
 
     out_specs = [
         vspec((H + 1, ds)),
@@ -536,19 +574,17 @@ def pallas_fused_line_search(
         in_specs=[
             vspec((ds,)), vspec((H, ds)), vspec((H, dc)),
             vspec((H, dc, ds)), vspec((H, dc)),
-            sspec(coeffs.shape), sspec((L, 1)),
+            coeffs_spec, sspec((L, 1)),
             sspec((dc, 1)), sspec((dc, 1)),
-            sspec((obsdim, obsdim)), sspec((dc, dc)),
-            sspec((obsdim, obsdim)), sspec((obsdim, 1)),
+            Q_spec, R_spec, F_spec, sspec((obsdim, 1)),
             vspec((1,)), vspec((1,)), vspec((1,)), vspec((1,)),
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
-    )(x0T, xsT, usT, KsT, ksT, coeffs.astype(dtype), alphas2,
+    )(x0T, xsT, usT, KsT, ksT, coeffs_in, alphas2,
       umin2, umax2,
-      jnp.asarray(Q, dtype=dtype), jnp.asarray(R, dtype=dtype),
-      jnp.asarray(F, dtype=dtype), goal2,
+      Q_in, R_in, F_in, goal2,
       row(obj0), row(lin_red), row(quad_red),
       row(ks_small.astype(dtype)))
 

@@ -337,11 +337,15 @@ class JointSINDyQuadCostFanout:
         backward: str = "scan",
         block_b: int = 128,
         use_feature_kernels: bool = False,
+        fuse_ls: bool = False,
     ):
         # Defaults are CPU-safe (XLA scan paths); TPU callers opt into
         # the Pallas kernels with backward="pallas",
         # use_feature_kernels=True — the same convention as
-        # QuadCostFanout's backward/feature_spec knobs.
+        # QuadCostFanout's backward/feature_spec knobs. ``fuse_ls``
+        # additionally selects the fully fused line-search kernel
+        # (objective + acceptance in-kernel, per-lane diagonal costs;
+        # needs use_feature_kernels and a discrete-time bucket).
         from ..core.trajectory import batch as traj_batch
         from ..ops.lstsq import fista_lasso, stlsq
         from ..sysid.sindy import SINDy
@@ -411,6 +415,7 @@ class JointSINDyQuadCostFanout:
             backward=backward, feature_spec=feature_spec,
             block_b=block_b, ls_block_l=10,
             batch_params=True, quad_cost_batch=True, quad_goal=goal,
+            fuse_ls=bool(fuse_ls and feature_spec is not None),
         )
         if compact_schedule is not None:
             if isinstance(compact_schedule, str):

@@ -95,6 +95,12 @@ def main():
                 compact_schedule=compact,
                 backward=backward,
                 use_feature_kernels=(ls == "pallas"),
+                # SCALE_FUSE=0 falls back to the unfused line-search
+                # kernel + XLA objective.
+                fuse_ls=(
+                    ls == "pallas"
+                    and os.environ.get("SCALE_FUSE", "1") != "0"
+                ),
                 warm_start=bool(os.environ.get("SCALE_WARM")),
             )
         else:

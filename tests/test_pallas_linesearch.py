@@ -319,3 +319,56 @@ def test_per_lane_coeffs_matches_shared_calls(model):
         np.testing.assert_allclose(
             np.asarray(out_us[i]), np.asarray(ref_us[0]), atol=1e-12
         )
+
+
+def test_fused_per_lane_cost_and_coeffs_matches_shared_calls(model):
+    """per_lane_diag_cost=True + (B, ds, F) coeffs — the joint
+    fan-out's fused configuration — must equal B separate shared-mode
+    fused calls with diag() matrices."""
+    from autompc_tpu.ops.pallas_linesearch import pallas_fused_line_search
+
+    rng = np.random.default_rng(13)
+    B, H, ds = 4, 7, 4
+    fns = tuple(model.library._fns)
+    x0 = jnp.asarray(rng.uniform(-1, 1, (B, ds)))
+    xs = jnp.asarray(rng.uniform(-1, 1, (B, H + 1, ds)))
+    us = jnp.asarray(rng.uniform(-2, 2, (B, H, 1)))
+    Ks = jnp.asarray(rng.normal(size=(B, H, 1, ds)) * 0.3)
+    ks = jnp.asarray(rng.normal(size=(B, H, 1)))
+    alphas = 0.2 ** jnp.arange(5, dtype=x0.dtype)
+    coeffs = jnp.stack(
+        [model.coeffs * (1.0 + 0.05 * i) for i in range(B)]
+    )
+    Qd = jnp.asarray(rng.uniform(0.01, 10.0, (B, ds)))
+    Rd = jnp.asarray(rng.uniform(1e-3, 1.0, (B, 1)))
+    Fd = jnp.asarray(rng.uniform(0.01, 10.0, (B, ds)))
+    goal = jnp.zeros(4)
+    dt = 0.05
+    obj0 = jnp.asarray(rng.uniform(5.0, 50.0, (B,)))
+    lin_red = jnp.asarray(-rng.uniform(0.1, 5.0, (B,)))
+    quad_red = jnp.asarray(-rng.uniform(0.1, 5.0, (B,)))
+    ks_small = jnp.array([False, False, True, False])
+
+    for gts in (None, model.library.grad_terms):
+        out = pallas_fused_line_search(
+            fns, x0, xs, us, Ks, ks, coeffs, alphas, -20.0, 20.0,
+            Qd, Rd, Fd, goal, dt, obj0, lin_red, quad_red, ks_small,
+            grad_terms=gts, block_b=B, interpret=True,
+            per_lane_diag_cost=True,
+        )
+        for b in range(B):
+            ref = pallas_fused_line_search(
+                fns, x0[b:b + 1], xs[b:b + 1], us[b:b + 1],
+                Ks[b:b + 1], ks[b:b + 1], coeffs[b], alphas,
+                -20.0, 20.0,
+                jnp.diag(Qd[b]), jnp.diag(Rd[b]), jnp.diag(Fd[b]),
+                goal, dt, obj0[b:b + 1], lin_red[b:b + 1],
+                quad_red[b:b + 1], ks_small[b:b + 1],
+                grad_terms=gts, block_b=1, interpret=True,
+            )
+            for a, r in zip(out, ref):
+                np.testing.assert_allclose(
+                    np.asarray(a[b]).astype(float),
+                    np.asarray(r[0]).astype(float),
+                    rtol=1e-6, atol=1e-9,
+                )
