@@ -512,6 +512,298 @@ class JointSINDyQuadCostFanout:
         return self._eval(params_batch)
 
 
+class JointMLPQuadCostFanout:
+    """JOINT tuning fan-out for MLP-model pipelines: candidates that
+    differ in hidden widths + learning rate (`_model:hidden_size_i`,
+    `_model:lr`), diagonal cost gains, and share an (n_hidden_layers,
+    nonlintype, horizon) bucket train as per-lane masked max-width
+    nets — the WHOLE Adam run per lane, exactly the bucketed trainer's
+    formulation (tuning/bucketed.py:MLPBucketEvaluator, pinned to the
+    per-config ``MLP.train`` at rel 1e-5) — and then evaluate through
+    the per-lane-model per-lane-cost batched iLQR closed loop
+    (``make_batched_ilqr_solver(batch_params=True)``; the per-lane net
+    pytree plus its masks ride the params batch axis).
+
+    Reference scenario: a fresh torch-MLP trained per SMAC candidate
+    (autompc/tuning/pipeline_tuner.py:213-258 with the default MLP
+    factory, sysid/mlp.py:177-217) — the reference's single most
+    expensive objective, fused here into one device program per
+    candidate batch.
+
+    ``__call__(batch)`` takes ``{"widths": ((w1, ..), ...) static
+    per-candidate hidden sizes, "lr": (B,), "Qdiag": (B, n),
+    "Rdiag": (B, m), "Fdiag": (B, n)}`` and returns task costs (B,).
+    """
+
+    def __init__(
+        self,
+        system,
+        task,
+        mlp_bucket: dict,
+        sysid_trajs,
+        surrogate,
+        horizon: int = 20,
+        n_steps: Optional[int] = None,
+        mesh=None,
+        goal=None,
+        compact_schedule=None,
+        warm_start: bool = False,
+        backward: str = "scan",
+        block_b: int = 128,
+        max_width: int = 256,
+        n_train_iters: int = 50,
+        n_batch: int = 64,
+        seed: int = 100,
+    ):
+        import optax
+
+        from ..core.trajectory import batch as traj_batch
+        from ..sysid.mlp import _NONLIN
+
+        self.system = system
+        self._max_width = int(max_width)
+        n_steps = n_steps or (task.get_num_steps() or 200) - 1
+        goal = jnp.asarray(
+            goal
+            if goal is not None
+            else (task.get_cost().get_goal() if task.get_cost() is not None
+                  else jnp.zeros(system.obs_dim))
+        )
+        init_obs = jnp.asarray(task.get_init_obs())
+        bounds = task.get_ctrl_bounds()
+        ubounds = (bounds[:, 0], bounds[:, 1])
+        task_cost = task.get_cost()
+        n = system.obs_dim
+        dc = system.ctrl_dim
+        dt = system.dt
+        self._L = int(mlp_bucket["n_hidden_layers"])
+        nonlintype = str(mlp_bucket["nonlintype"])
+        act = _NONLIN[nonlintype]
+        self._seed = int(seed)
+        nxu = n + dc
+        self._nxu, self._nx = nxu, n
+
+        # Stage training pairs + z-scoring exactly as MLP.train
+        # (sysid/mlp.py:158-179; same staging as MLPBucketEvaluator).
+        tb = traj_batch(sysid_trajs)
+        mask = np.asarray(tb.step_mask())
+        obs = np.asarray(tb.obs)
+        ctrls = np.asarray(tb.ctrls)
+        idx_b, idx_t = np.nonzero(mask)
+        X = obs[idx_b, idx_t]
+        U = ctrls[idx_b, idx_t]
+        dY = obs[idx_b, idx_t + 1] - obs[idx_b, idx_t]
+        XU = np.concatenate([X, U], axis=1)
+        xu_means = XU.mean(axis=0)
+        xu_std = np.where(XU.std(axis=0) > 1e-12, XU.std(axis=0), 1.0)
+        dy_means = dY.mean(axis=0)
+        dy_std = np.where(dY.std(axis=0) > 1e-12, dY.std(axis=0), 1.0)
+        norm = tuple(
+            jnp.asarray(v) for v in (xu_means, xu_std, dy_means, dy_std)
+        )
+        XUt = (jnp.asarray(XU) - norm[0]) / norm[1]
+        dYt = (jnp.asarray(dY) - norm[2]) / norm[3]
+        n_rows = XUt.shape[0]
+        n_batch = int(n_batch)
+        nb = max(n_rows // n_batch, 1)
+        n_used = nb * n_batch
+        n_train_iters = int(n_train_iters)
+
+        def apply_net(net, wmasks, bmasks, x):
+            for layer, wm, bm in zip(net[:-1], wmasks[:-1], bmasks[:-1]):
+                x = act(x @ (layer["W"] * wm) + layer["b"] * bm)
+            out, wm, bm = net[-1], wmasks[-1], bmasks[-1]
+            return x @ (out["W"] * wm) + out["b"] * bm
+
+        def train_one(params0, wmasks, bmasks, lr, key):
+            gtx = optax.scale_by_adam()
+            opt_state = gtx.init(params0)
+
+            def loss_fn(p, xb, yb):
+                pred = apply_net(p, wmasks, bmasks, xb)
+                return jnp.mean(optax.huber_loss(pred, yb, delta=1.0))
+
+            def epoch(carry, _):
+                params, opt_state, key = carry
+                key, kp = jax.random.split(key)
+                perm = jax.random.permutation(kp, n_rows)[:n_used]
+                xb = XUt[perm].reshape(nb, n_batch, -1)
+                yb = dYt[perm].reshape(nb, n_batch, -1)
+
+                def step(c, batch_xy):
+                    params, opt_state = c
+                    x, y = batch_xy
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        params, x, y
+                    )
+                    updates, opt_state = gtx.update(grads, opt_state)
+                    updates = jax.tree_util.tree_map(
+                        lambda u: -lr * u, updates
+                    )
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
+
+                (params, opt_state), _ = jax.lax.scan(
+                    step, (params, opt_state), (xb, yb)
+                )
+                return (params, opt_state, key), None
+
+            (params, _, _), _ = jax.lax.scan(
+                epoch, (params0, opt_state, key), None,
+                length=n_train_iters,
+            )
+            return params
+
+        xu_means_j, xu_std_j, dy_means_j, dy_std_j = norm
+
+        def pred_core(params, state, ctrl):
+            xu = jnp.concatenate([state, ctrl], axis=-1)
+            xut = (xu - xu_means_j) / xu_std_j
+            dyt = apply_net(
+                params["net"], params["wmasks"], params["bmasks"], xut
+            )
+            return state + (dyt * dy_std_j + dy_means_j)
+
+        solver_kw = dict(
+            H=horizon, ds=n, dc=dc, obsdim=n, dt=dt, ubounds=ubounds,
+            backward=backward, block_b=block_b,
+            batch_params=True, quad_cost_batch=True, quad_goal=goal,
+        )
+        if compact_schedule is not None:
+            if isinstance(compact_schedule, str):
+                from ..control.ilqr import parse_schedule
+
+                compact_schedule = parse_schedule(compact_schedule)
+            from ..control.ilqr import make_scheduled_ilqr_solver
+
+            solve = make_scheduled_ilqr_solver(
+                pred_core, None, schedule=tuple(compact_schedule),
+                **solver_kw,
+            )
+        else:
+            from ..control.ilqr import make_batched_ilqr_solver
+
+            solve = make_batched_ilqr_solver(pred_core, None, **solver_kw)
+
+        surr_params = surrogate.params
+
+        def eval_batch(batch):
+            B = batch["lr"].shape[0]
+            key = jax.random.PRNGKey(self._seed)
+            key, _ = jax.random.split(key)  # mirrors MLPBucketEvaluator
+            nets = jax.vmap(
+                train_one, in_axes=(0, 0, 0, 0, None)
+            )(batch["net0"], batch["wmasks"], batch["bmasks"],
+              batch["lr"], key)
+            params = {
+                "net": nets,
+                "wmasks": batch["wmasks"],
+                "bmasks": batch["bmasks"],
+            }
+            cost_params = {
+                "Qdiag": batch["Qdiag"],
+                "Rdiag": batch["Rdiag"],
+                "Fdiag": batch["Fdiag"],
+            }
+            obs0 = jnp.broadcast_to(init_obs, (B, n))
+
+            def body(carry, _):
+                obs, us_prev = carry
+                if warm_start:
+                    uguess = jnp.concatenate(
+                        [us_prev[:, 1:], us_prev[:, -1:]], axis=1
+                    )
+                else:
+                    uguess = jnp.zeros((B, horizon, dc))
+                _, xs, us, Ks, ks = solve(params, obs, uguess, cost_params)
+                u = us[:, 0]
+                next_obs = jax.vmap(
+                    lambda o, uu: surrogate.pred_core(surr_params, o, uu)[:n]
+                )(obs, u)
+                return (
+                    next_obs, us if warm_start else us_prev
+                ), (obs, u)
+
+            carry0 = (
+                obs0, jnp.zeros((B, horizon if warm_start else 0, dc))
+            )
+            (last_obs, _), (obs_seq, ctrl_seq) = jax.lax.scan(
+                body, carry0, None, length=n_steps
+            )
+            stage = jax.vmap(jax.vmap(task_cost.eval_obs_cost))(
+                obs_seq
+            ).sum(axis=0) + jax.vmap(task_cost.eval_obs_cost)(last_obs)
+            ctrlc = jax.vmap(jax.vmap(task_cost.eval_ctrl_cost))(
+                ctrl_seq
+            ).sum(axis=0)
+            term = jax.vmap(task_cost.eval_term_obs_cost)(last_obs)
+            total = stage + ctrlc + term
+            return jnp.where(jnp.isfinite(total), total, jnp.inf)
+
+        if mesh is None:
+            self._eval_jit = jax.jit(eval_batch)
+            n_dev = 1
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(mesh.axis_names[0])
+            # Single-spec prefix: every leaf of the batch dict shards
+            # over the candidate axis.
+            self._eval_jit = jax.jit(
+                jax.shard_map(
+                    eval_batch, mesh=mesh,
+                    in_specs=(spec,),
+                    out_specs=spec,
+                    check_vma=False,
+                )
+            )
+            n_dev = int(np.prod(mesh.devices.shape))
+        self._pad_quantum = n_dev * max(1, -(-8 // n_dev))
+
+    def __call__(self, batch):
+        from ..tuning.bucketed import _mlp_masks, _mlp_padded_init
+
+        widths_list = [list(w) for w in batch["widths"]]
+        B = len(widths_list)
+        target = (
+            (B + self._pad_quantum - 1) // self._pad_quantum
+        ) * self._pad_quantum
+        widths_list += [widths_list[-1]] * (target - B)
+
+        key = jax.random.PRNGKey(self._seed)
+        _, k_init = jax.random.split(key)
+        net0, wmasks, bmasks = [], [], []
+        for widths in widths_list:
+            net0.append(_mlp_padded_init(
+                k_init, self._nxu, self._nx, widths, self._max_width
+            ))
+            wm, bm = _mlp_masks(
+                self._nxu, self._nx, widths, self._max_width
+            )
+            wmasks.append([jnp.asarray(m) for m in wm])
+            bmasks.append([jnp.asarray(m) for m in bm])
+        stack = lambda seqs: jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *seqs
+        )
+
+        def pad(a):
+            a = jnp.asarray(a)
+            return jnp.concatenate(
+                [a] + [a[-1:]] * (target - B), axis=0
+            ) if target > B else a
+
+        full = {
+            "net0": stack(net0),
+            "wmasks": stack(wmasks),
+            "bmasks": stack(bmasks),
+            "lr": pad(batch["lr"]),
+            "Qdiag": pad(batch["Qdiag"]),
+            "Rdiag": pad(batch["Rdiag"]),
+            "Fdiag": pad(batch["Fdiag"]),
+        }
+        return self._eval_jit(full)[:B]
+
+
 class DirectTranscriptionFanout:
     """Evaluate a batch of diagonal quadratic-cost candidates with a
     direct-transcription (SQP) controller synthesized per candidate

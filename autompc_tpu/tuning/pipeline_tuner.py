@@ -190,9 +190,18 @@ class PipelineTuner:
                 "joint ARX fan-out supports IterativeLQRFactory; got "
                 f"{type(cf).__name__}"
             )
+        from ..sysid.mlp import MLPFactory
+
+        if isinstance(pipeline.model_factory, MLPFactory):
+            if isinstance(cf, IterativeLQRFactory):
+                return "joint_mlp", ""
+            return None, (
+                "joint MLP fan-out supports IterativeLQRFactory; got "
+                f"{type(cf).__name__}"
+            )
         return None, (
-            "joint fan-out covers SINDyFactory/ARXFactory model "
-            f"factories; got {type(pipeline.model_factory).__name__}"
+            "joint fan-out covers SINDy/ARX/MLP model factories; got "
+            f"{type(pipeline.model_factory).__name__}"
         )
 
     def _eval_batch_fanout(self, pipeline, task, surrogate, cfgs, fanouts,
@@ -273,6 +282,12 @@ class PipelineTuner:
                 key = (
                     tuple(sorted(sindy_bucket(cfg).items())), int(horizon)
                 )
+            elif kind == "joint_mlp":
+                key = (
+                    int(mk(cfg, "n_hidden_layers", "2")),
+                    str(mk(cfg, "nonlintype", "relu")),
+                    int(horizon),
+                )
             elif kind == "joint_arx":
                 key = (int(mk(cfg, "history", 4)), int(horizon))
             else:
@@ -311,6 +326,25 @@ class PipelineTuner:
                         warm_start=self.fanout_warm_start,
                         backward=self.fanout_backward,
                         use_feature_kernels=self.fanout_feature_kernels,
+                        **common,
+                    )
+                elif kind == "joint_mlp":
+                    from ..parallel.fanout import JointMLPQuadCostFanout
+
+                    fanouts[key] = JointMLPQuadCostFanout(
+                        system, task,
+                        dict(
+                            n_hidden_layers=key[0], nonlintype=key[1]
+                        ),
+                        sysid_trajs, surrogate, horizon=key[2],
+                        compact_schedule=self.fanout_compact,
+                        warm_start=self.fanout_warm_start,
+                        backward=self.fanout_backward,
+                        n_train_iters=int(
+                            m_over.get("n_train_iters", 50)
+                        ),
+                        n_batch=int(m_over.get("n_batch", 64)),
+                        seed=int(m_over.get("seed", 100)),
                         **common,
                     )
                 elif kind == "joint_arx":
@@ -366,6 +400,19 @@ class PipelineTuner:
                 reg_def = 1.0 if method == "lasso" else 1e-2
                 batch["reg"] = jnp.asarray(
                     [float(mk(cfgs[i], reg_name, reg_def)) for i in idxs]
+                )
+            elif kind == "joint_mlp":
+                L = key[0]
+                widths = []
+                for i in idxs:
+                    base = int(mk(cfgs[i], "hidden_size", 128))
+                    widths.append(tuple(
+                        int(mk(cfgs[i], f"hidden_size_{j + 1}", base))
+                        for j in range(L)
+                    ))
+                batch["widths"] = tuple(widths)
+                batch["lr"] = jnp.asarray(
+                    [float(mk(cfgs[i], "lr", 1e-3)) for i in idxs]
                 )
             vals = np.asarray(fanouts[key](batch))
             for j, i in enumerate(idxs):

@@ -247,6 +247,62 @@ class TestPipelineTunerFanout:
             else:
                 assert np.isinf(cs) == np.isinf(cf)
 
+    @pytest.mark.slow
+    def test_joint_mlp_fanout_matches_sequential(self, benchmark, trajs):
+        """Joint MLP tuning: per-lane masked max-width nets trained
+        inside the fan-out program must score candidates like the
+        sequential train-per-candidate objective (training parity is
+        rel 1e-5 per tuning/bucketed.py; closed-loop costs compared at
+        a looser tolerance for the amplification through 25 MPC
+        steps)."""
+        from autompc_tpu.sysid import MLPFactory, SINDy
+
+        surrogate = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        surrogate.train(trajs)
+
+        def make_pipeline():
+            return Pipeline(
+                benchmark.system,
+                MLPFactory(
+                    benchmark.system,
+                    n_hidden_layers="1", nonlintype="tanh",
+                    n_train_iters=4, n_batch=32,
+                ),
+                QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+                IterativeLQRFactory(benchmark.system, horizon=6),
+            )
+
+        task = benchmark.task.copy()
+        task.set_num_steps(25)
+
+        seq = PipelineTuner(surrogate_mode="pretrain", eval_batch=2)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=2, use_fanout=True
+        )
+        kind, reason = fan._fanout_kind(make_pipeline(), surrogate)
+        assert kind == "joint_mlp", reason
+        rng1 = np.random.default_rng(3)
+        rng2 = np.random.default_rng(3)
+        _, res_seq = seq.run(
+            make_pipeline(), task, trajs, n_iters=4, rng=rng1,
+            surrogate=surrogate,
+        )
+        _, res_fan = fan.run(
+            make_pipeline(), task, trajs, n_iters=4, rng=rng2,
+            surrogate=surrogate,
+        )
+        for cs, cf in zip(res_seq.costs, res_fan.costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=2e-2, abs=1e-3), (
+                    res_seq.costs, res_fan.costs,
+                )
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
+
     def test_joint_arx_fanout_runs(self, benchmark, trajs):
         """Joint ARX tuning: history buckets train one shared model and
         ride the fixed-model fan-out; costs are finite and the history
