@@ -512,6 +512,179 @@ class JointSINDyQuadCostFanout:
         return self._eval(params_batch)
 
 
+class JointKoopmanLassoQuadCostFanout:
+    """JOINT tuning fan-out for Koopman(method=lasso) pipelines: within
+    a (basis configuration, horizon) bucket only the lasso alpha varies
+    shapes-free, so the lifted data matrices stage once and every
+    candidate trains through one vmapped FISTA solve
+    (ops/lstsq.py:fista_lasso; reference usage koopman.py:150-156) into
+    per-lane (A, B) operators; the closed loop then runs the
+    per-lane-model per-lane-cost batched iLQR in the LIFTED state
+    (ds = lifted dim; the controller state is re-lifted from the
+    surrogate observation each step, Koopman.update_state_core
+    semantics).
+
+    ``__call__(batch)``: ``{"reg": (B,) lasso alphas, "Qdiag", "Rdiag",
+    "Fdiag"}`` -> task costs (B,). (Koopman method=lstsq/stable buckets
+    are parameter-free per basis: the tuner trains ONE model per bucket
+    and rides the fixed-model QuadCostFanout instead.)
+    """
+
+    def __init__(
+        self,
+        system,
+        task,
+        koopman_cfg: dict,
+        sysid_trajs,
+        surrogate,
+        horizon: int = 20,
+        n_steps: Optional[int] = None,
+        mesh=None,
+        goal=None,
+        compact_schedule=None,
+        warm_start: bool = False,
+        backward: str = "scan",
+        block_b: int = 128,
+    ):
+        from ..core.trajectory import batch as traj_batch
+        from ..ops.lstsq import fista_lasso
+        from ..sysid.koopman import Koopman
+
+        n_steps = n_steps or (task.get_num_steps() or 200) - 1
+        goal = jnp.asarray(
+            goal
+            if goal is not None
+            else (task.get_cost().get_goal() if task.get_cost() is not None
+                  else jnp.zeros(system.obs_dim))
+        )
+        init_obs = jnp.asarray(task.get_init_obs())
+        bounds = task.get_ctrl_bounds()
+        ubounds = (bounds[:, 0], bounds[:, 1])
+        task_cost = task.get_cost()
+        n = system.obs_dim
+        dc = system.ctrl_dim
+
+        skeleton = Koopman(system, method="lasso", lasso_alpha=1.0,
+                           **koopman_cfg)
+        lift = skeleton._apply_basis
+        N = skeleton.state_dim
+
+        # Stage the lifted transition matrices once (Koopman.train
+        # semantics, koopman.py:160-186).
+        tb = traj_batch(sysid_trajs)
+        lifted = jax.vmap(jax.vmap(lift))(tb.obs)
+        m = np.asarray(tb.step_mask())
+        idx_b, idx_t = np.nonzero(m)
+        X = np.asarray(lifted)[idx_b, idx_t]             # (S, N)
+        Y = np.asarray(lifted)[idx_b, idx_t + 1]         # (S, N)
+        U = np.asarray(tb.ctrls)[idx_b, idx_t]           # (S, m)
+        XU = jnp.asarray(np.concatenate([X, U], axis=1))  # (S, N+m)
+        Yj = jnp.asarray(Y)
+
+        def train_one(alpha):
+            AB = fista_lasso(XU, Yj, alpha).T             # (N, N+m)
+            return AB[:, :N], AB[:, N:]
+
+        def pred_core(params, state, ctrl):
+            return params["A"] @ state + params["B"] @ ctrl
+
+        solver_kw = dict(
+            H=horizon, ds=N, dc=dc, obsdim=n, dt=system.dt,
+            ubounds=ubounds, backward=backward, block_b=block_b,
+            batch_params=True, quad_cost_batch=True, quad_goal=goal,
+        )
+        if compact_schedule is not None:
+            if isinstance(compact_schedule, str):
+                from ..control.ilqr import parse_schedule
+
+                compact_schedule = parse_schedule(compact_schedule)
+            from ..control.ilqr import make_scheduled_ilqr_solver
+
+            solve = make_scheduled_ilqr_solver(
+                pred_core, None, schedule=tuple(compact_schedule),
+                **solver_kw,
+            )
+        else:
+            from ..control.ilqr import make_batched_ilqr_solver
+
+            solve = make_batched_ilqr_solver(pred_core, None, **solver_kw)
+
+        surr_params = surrogate.params
+
+        def eval_batch(batch):
+            B = batch["reg"].shape[0]
+            A_b, B_b = jax.vmap(train_one)(batch["reg"])
+            params = {"A": A_b, "B": B_b}
+            cost_params = {
+                "Qdiag": batch["Qdiag"],
+                "Rdiag": batch["Rdiag"],
+                "Fdiag": batch["Fdiag"],
+            }
+            obs0 = jnp.broadcast_to(init_obs, (B, n))
+
+            def body(carry, _):
+                obs, us_prev = carry
+                state = jax.vmap(lift)(obs)               # (B, N)
+                if warm_start:
+                    uguess = jnp.concatenate(
+                        [us_prev[:, 1:], us_prev[:, -1:]], axis=1
+                    )
+                else:
+                    uguess = jnp.zeros((B, horizon, dc))
+                _, xs, us, Ks, ks = solve(
+                    params, state, uguess, cost_params
+                )
+                u = us[:, 0]
+                next_obs = jax.vmap(
+                    lambda o, uu: surrogate.pred_core(surr_params, o, uu)[:n]
+                )(obs, u)
+                return (
+                    next_obs, us if warm_start else us_prev
+                ), (obs, u)
+
+            carry0 = (
+                obs0, jnp.zeros((B, horizon if warm_start else 0, dc))
+            )
+            (last_obs, _), (obs_seq, ctrl_seq) = jax.lax.scan(
+                body, carry0, None, length=n_steps
+            )
+            stage = jax.vmap(jax.vmap(task_cost.eval_obs_cost))(
+                obs_seq
+            ).sum(axis=0) + jax.vmap(task_cost.eval_obs_cost)(last_obs)
+            ctrlc = jax.vmap(jax.vmap(task_cost.eval_ctrl_cost))(
+                ctrl_seq
+            ).sum(axis=0)
+            term = jax.vmap(task_cost.eval_term_obs_cost)(last_obs)
+            total = stage + ctrlc + term
+            return jnp.where(jnp.isfinite(total), total, jnp.inf)
+
+        if mesh is None:
+            eval_jit = jax.jit(eval_batch)
+            n_dev = 1
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(mesh.axis_names[0])
+            eval_jit = jax.jit(
+                jax.shard_map(
+                    eval_batch, mesh=mesh,
+                    in_specs=(spec,), out_specs=spec,
+                    check_vma=False,
+                )
+            )
+            n_dev = int(np.prod(mesh.devices.shape))
+        pad_quantum = n_dev * max(1, -(-8 // n_dev))
+
+        def eval_padded(batch):
+            padded, n_real = pad_to_multiple(batch, pad_quantum)
+            return eval_jit(padded)[:n_real]
+
+        self._eval = eval_padded
+
+    def __call__(self, params_batch):
+        return self._eval(params_batch)
+
+
 class JointMLPQuadCostFanout:
     """JOINT tuning fan-out for MLP-model pipelines: candidates that
     differ in hidden widths + learning rate (`_model:hidden_size_i`,

@@ -108,6 +108,12 @@ class Koopman(Model):
     ):
         super().__init__(system)
         self.method = method
+        if method == "lasso" and lasso_alpha is None:
+            # A factory method-override can pair method="lasso" with a
+            # configuration whose conditional lasso_alpha is inactive;
+            # fall back to the space default (1.0) like the tuner's
+            # bucket extraction does (tuning/model_tuner.py).
+            lasso_alpha = 1.0
         self.lasso_alpha = lasso_alpha
         self.poly_basis = _as_bool(poly_basis)
         self.poly_degree = int(poly_degree)

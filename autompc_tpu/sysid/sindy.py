@@ -121,6 +121,12 @@ class SINDy(Model):
     ):
         super().__init__(system)
         self.method = method
+        if method == "lasso" and lasso_alpha is None:
+            # Conditional hyperparameter inactive under a factory
+            # method-override: use the space default (sindy factory
+            # lasso_alpha default 1.0), matching the tuner's bucket
+            # extraction fallback.
+            lasso_alpha = 1.0
         self.lasso_alpha = lasso_alpha
         self.threshold = threshold
         self.time_mode = time_mode

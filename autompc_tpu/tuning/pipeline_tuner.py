@@ -199,9 +199,18 @@ class PipelineTuner:
                 "joint MLP fan-out supports IterativeLQRFactory; got "
                 f"{type(cf).__name__}"
             )
+        from ..sysid.koopman import KoopmanFactory
+
+        if isinstance(pipeline.model_factory, KoopmanFactory):
+            if isinstance(cf, IterativeLQRFactory):
+                return "joint_koopman", ""
+            return None, (
+                "joint Koopman fan-out supports IterativeLQRFactory; "
+                f"got {type(cf).__name__}"
+            )
         return None, (
-            "joint fan-out covers SINDy/ARX/MLP model factories; got "
-            f"{type(pipeline.model_factory).__name__}"
+            "joint fan-out covers SINDy/ARX/MLP/Koopman model "
+            f"factories; got {type(pipeline.model_factory).__name__}"
         )
 
     def _eval_batch_fanout(self, pipeline, task, surrogate, cfgs, fanouts,
@@ -288,6 +297,19 @@ class PipelineTuner:
                     str(mk(cfg, "nonlintype", "relu")),
                     int(horizon),
                 )
+            elif kind == "joint_koopman":
+                kb = dict(
+                    poly_basis=mk(cfg, "poly_basis", "false"),
+                    poly_degree=int(mk(cfg, "poly_degree", 3)),
+                    trig_basis=mk(cfg, "trig_basis", "false"),
+                    trig_freq=int(mk(cfg, "trig_freq", 1)),
+                    product_terms=mk(cfg, "product_terms", "false"),
+                )
+                key = (
+                    str(mk(cfg, "method", "lstsq")),
+                    tuple(sorted(kb.items())),
+                    int(horizon),
+                )
             elif kind == "joint_arx":
                 key = (int(mk(cfg, "history", 4)), int(horizon))
             else:
@@ -347,6 +369,36 @@ class PipelineTuner:
                         seed=int(m_over.get("seed", 100)),
                         **common,
                     )
+                elif kind == "joint_koopman":
+                    method = key[0]
+                    if method == "lasso":
+                        from ..parallel.fanout import (
+                            JointKoopmanLassoQuadCostFanout,
+                        )
+
+                        fanouts[key] = JointKoopmanLassoQuadCostFanout(
+                            system, task, dict(key[1]), sysid_trajs,
+                            surrogate, horizon=key[2],
+                            compact_schedule=self.fanout_compact,
+                            warm_start=self.fanout_warm_start,
+                            backward=self.fanout_backward,
+                            **common,
+                        )
+                    else:
+                        # lstsq/stable are parameter-free per basis
+                        # bucket: one shared model, fixed-model fan-out.
+                        from ..sysid.koopman import Koopman
+
+                        km = Koopman(system, method=method, **dict(key[1]))
+                        km.train(sysid_trajs)
+                        fanouts[key] = QuadCostFanout(
+                            system, task, km, surrogate,
+                            horizon=key[2],
+                            compact_schedule=self.fanout_compact,
+                            warm_start=self.fanout_warm_start,
+                            backward=self.fanout_backward,
+                            **common,
+                        )
                 elif kind == "joint_arx":
                     # One shared model per history bucket (the only ARX
                     # hyperparameter IS the bucket key), then the
@@ -400,6 +452,10 @@ class PipelineTuner:
                 reg_def = 1.0 if method == "lasso" else 1e-2
                 batch["reg"] = jnp.asarray(
                     [float(mk(cfgs[i], reg_name, reg_def)) for i in idxs]
+                )
+            elif kind == "joint_koopman" and key[0] == "lasso":
+                batch["reg"] = jnp.asarray(
+                    [float(mk(cfgs[i], "lasso_alpha", 1.0)) for i in idxs]
                 )
             elif kind == "joint_mlp":
                 L = key[0]

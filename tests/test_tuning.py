@@ -303,6 +303,61 @@ class TestPipelineTunerFanout:
             else:
                 assert np.isinf(cs) == np.isinf(cf)
 
+    @pytest.mark.slow
+    def test_joint_koopman_lasso_fanout_matches_sequential(
+        self, benchmark, trajs
+    ):
+        """Joint Koopman(method=lasso): per-lane FISTA-trained (A, B)
+        operators + lifted-state iLQR, fused, vs the sequential
+        train-per-candidate objective."""
+        from autompc_tpu.sysid import KoopmanFactory, SINDy
+
+        surrogate = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        surrogate.train(trajs)
+
+        def make_pipeline():
+            return Pipeline(
+                benchmark.system,
+                KoopmanFactory(
+                    benchmark.system,
+                    method="lasso", poly_basis="false",
+                    trig_basis="true", trig_freq=1,
+                ),
+                QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+                IterativeLQRFactory(benchmark.system, horizon=6),
+            )
+
+        task = benchmark.task.copy()
+        task.set_num_steps(20)
+
+        seq = PipelineTuner(surrogate_mode="pretrain", eval_batch=2)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=2, use_fanout=True
+        )
+        kind, reason = fan._fanout_kind(make_pipeline(), surrogate)
+        assert kind == "joint_koopman", reason
+        rng1 = np.random.default_rng(5)
+        rng2 = np.random.default_rng(5)
+        _, res_seq = seq.run(
+            make_pipeline(), task, trajs, n_iters=4, rng=rng1,
+            surrogate=surrogate,
+        )
+        _, res_fan = fan.run(
+            make_pipeline(), task, trajs, n_iters=4, rng=rng2,
+            surrogate=surrogate,
+        )
+        for cs, cf in zip(res_seq.costs, res_fan.costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=1e-5, abs=1e-5), (
+                    res_seq.costs, res_fan.costs,
+                )
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
+
     def test_joint_arx_fanout_runs(self, benchmark, trajs):
         """Joint ARX tuning: history buckets train one shared model and
         ride the fixed-model fan-out; costs are finite and the history
