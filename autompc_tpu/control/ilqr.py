@@ -248,6 +248,8 @@ def make_batched_ilqr_solver(
     quad_cost_batch: bool = False,
     quad_goal=None,
     batch_params: bool = False,
+    reg_matrix=None,
+    reg_goal=None,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
     (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
@@ -285,6 +287,20 @@ def make_batched_ilqr_solver(
     ignored and may be None (semantics are the QuadCost fast paths:
     value ``(x-g)'Q(x-g)``, gradient ``2Q(x-g)``, hessian ``2Q``,
     costs/cost.py:62-141). Incompatible with ``fuse_ls``.
+
+    ``reg_matrix`` / ``reg_goal`` (requires ``quad_cost_batch``) add a
+    per-lane-WEIGHTED shared dense quadratic stage term
+    ``regw * (x - reg_goal)' reg_matrix (x - reg_goal)`` — the
+    GaussRegFactory candidate space (``Q = w Sigma_x^{-1}``, goal
+    ``mu_x``, R = F = 0; costs/gauss_reg_factory.py, reference
+    autompc/costs/gauss_reg_factory.py:37-45). ``cost_params`` then
+    additionally carries ``regw (B,)``. A SumCostFactory of
+    QuadCostFactory + GaussRegFactory candidates is exactly this
+    shape: per-lane diagonals with shared task goal PLUS a per-lane
+    scalar times one shared SPD matrix with its own goal. The stage
+    hessian becomes dense, so the diagonal-specialized backward kernel
+    is replaced by the dense-expansion Pallas backward automatically;
+    ``reg_matrix`` must be symmetric (gradient ``2 regw S (x-mu)``).
 
     Functionally equivalent to ``jax.vmap(make_ilqr_solver(...))`` (the
     outer iteration is a single ``while_loop`` with per-lane activity
@@ -393,8 +409,13 @@ def make_batched_ilqr_solver(
     # the stage expansions inline from (xs, us) — the whole expansions
     # phase plus the (B, H, ds, ds) Cxx materialization disappears
     # (ops/pallas_riccati.py:pallas_tvlqr_backward_quad).
+    if reg_matrix is not None and not quad_cost_batch:
+        raise ValueError("reg_matrix requires quad_cost_batch=True")
     if quad_cost_batch:
-        quad_backward = use_pallas
+        # The dense reg term makes the stage hessian non-diagonal, so
+        # the diagonal-specialized backward kernel is out; the dense-
+        # expansion kernel path (`use_pallas` branch below) takes over.
+        quad_backward = use_pallas and reg_matrix is None
         fixed_diag = None
     else:
         fixed_diag = None
@@ -493,11 +514,20 @@ def make_batched_ilqr_solver(
             jnp.zeros(obsdim) if quad_goal is None
             else jnp.asarray(quad_goal)
         )
+        if reg_matrix is not None:
+            Sreg = jnp.asarray(reg_matrix)
+            mureg = (
+                jnp.zeros(obsdim) if reg_goal is None
+                else jnp.asarray(reg_goal)
+            )
 
         def eval_obj_one(xs, us, cp):
             dx = xs[:H, :obsdim] - goal
             oc = jnp.sum(dx * dx * cp["Qdiag"][None, :])
             cc = jnp.sum(us * us * cp["Rdiag"][None, :])
+            if reg_matrix is not None:
+                dxm = xs[:H, :obsdim] - mureg
+                oc = oc + cp["regw"] * jnp.sum(dxm * (dxm @ Sreg))
             dxt = xs[H, :obsdim] - goal
             return dt * (oc + cc) + jnp.sum(dxt * dxt * cp["Fdiag"])
 
@@ -510,6 +540,14 @@ def make_batched_ilqr_solver(
             Cxx = jnp.zeros((H, ds, ds)).at[:, oi, oi].set(
                 jnp.broadcast_to(2.0 * cp["Qdiag"] * dt, (H, obsdim))
             )
+            if reg_matrix is not None:
+                dxm = xs[:H, :obsdim] - mureg
+                cx = cx.at[:, :obsdim].add(
+                    2.0 * dt * cp["regw"] * (dxm @ Sreg)
+                )
+                Cxx = Cxx.at[:, :obsdim, :obsdim].add(
+                    2.0 * dt * cp["regw"] * Sreg[None]
+                )
             ci = jnp.arange(dc)
             Cuu = jnp.zeros((H, dc, dc)).at[:, ci, ci].set(
                 jnp.broadcast_to(2.0 * cp["Rdiag"] * dt, (H, dc))
@@ -705,9 +743,14 @@ def make_batched_ilqr_solver(
                         cp["Qdiag"], cp["Rdiag"], cp["Fdiag"], goal_f,
                     )
                     per_lane = True
+                    reg_args = (
+                        (Sreg, mureg, cp["regw"])
+                        if reg_matrix is not None else None
+                    )
                 else:
                     cost_args = (cost._Q, cost._R, cost._F, cost._goal)
                     per_lane = False
+                    reg_args = None
                 outs = pallas_fused_line_search(
                     fns_a, x0s, xs, us, Ks, ks,
                     sel(pp[coeffs_key]), alphas, ls_umin, ls_umax,
@@ -717,6 +760,7 @@ def make_batched_ilqr_solver(
                     ls_cost_threshold=ls_cost_threshold,
                     block_b=TB if B % TB == 0 else B,
                     per_lane_diag_cost=per_lane,
+                    reg=reg_args,
                 )
                 (new_xs, new_us, new_obj, ls_success,
                  failed_now) = outs[:5]

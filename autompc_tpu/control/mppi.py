@@ -141,17 +141,24 @@ class MPPI(Controller):
         return True
 
     # -- rollouts ------------------------------------------------------
-    def _do_rollouts(self, params, x0, act_sequence, key):
+    def _do_rollouts(self, params, x0, act_sequence, key, eps=None):
         """(costs[num_path], eps[H, num_path, dc]) for one shifted
-        nominal sequence (mppi.py:120-152 semantics)."""
+        nominal sequence (mppi.py:120-152 semantics).
+
+        ``eps`` injects the perturbation draws directly (shape
+        (H, num_path, dc), normalized units) — the deterministic hook
+        the executed-reference parity tests use to feed both
+        implementations identical noise (tests/test_reference_parity.py).
+        """
         cost = self._cost
         scale = self._ctrl_scale
         umin_n = self._umin / scale
         umax_n = self._umax / scale
 
-        eps = jnp.sqrt(self.sigma) * jax.random.normal(
-            key, (self.H, self.num_path, self.dim_ctrl)
-        )
+        if eps is None:
+            eps = jnp.sqrt(self.sigma) * jax.random.normal(
+                key, (self.H, self.num_path, self.dim_ctrl)
+            )
         path0 = jnp.broadcast_to(x0, (self.num_path, self.dim_state))
         if self.mesh is not None:
             eps = jax.lax.with_sharding_constraint(eps, self._eps_sharding)
@@ -186,6 +193,13 @@ class MPPI(Controller):
         term = jax.vmap(lambda p: cost.eval_term_obs_cost(p[: self._obs_dim]))(path)
         return costs + term + act_cost, eps_out
 
+    def _update_sequence(self, seq, costs, eps):
+        """Exponential-weighting sequence update (mppi.py:110-118):
+        softmax weights over path costs, noise-weighted correction."""
+        S = jnp.exp(-(costs - jnp.min(costs)) / self.lmda)
+        weight = S / jnp.sum(S)
+        return seq + jnp.sum(eps * weight[None, :, None], axis=1)
+
     def step(self, cstate, new_obs):
         params = self._model_params
         x0 = self.model.update_state_core(
@@ -198,10 +212,7 @@ class MPPI(Controller):
             seq = jnp.concatenate([seq[1:], seq[-1:]], axis=0)
             key, k_noise = jax.random.split(key)
             costs, eps = self._do_rollouts(params, x0, seq, k_noise)
-            # Exponential weighting update (mppi.py:110-118).
-            S = jnp.exp(-(costs - jnp.min(costs)) / self.lmda)
-            weight = S / jnp.sum(S)
-            seq = seq + jnp.sum(eps * weight[None, :, None], axis=1)
+            seq = self._update_sequence(seq, costs, eps)
 
         u = seq[0] * self._ctrl_scale
         return u, dict(

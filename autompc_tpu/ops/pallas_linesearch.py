@@ -241,13 +241,7 @@ def _tree_sum(vals):
 
 
 def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
-                  ls_thresh, diag_cost,
-                  x0_ref, xs_ref, us_ref, Ks_ref, ks_ref, coeffs_ref,
-                  alphas_ref, umin_ref, umax_ref,
-                  Q_ref, R_ref, F_ref, goal_ref,
-                  obj0_ref, lin_ref, quad_ref, kssmall_ref,
-                  out_xs_ref, out_us_ref, out_obj_ref, out_succ_ref,
-                  out_fail_ref, jac_ref=None):
+                  ls_thresh, diag_cost, has_reg, *refs):
     """One batch block; ALL alphas live in this program as sublanes.
 
     Pass 1 rolls all L candidate step sizes, accumulating the quadratic
@@ -265,7 +259,25 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     iLQR body fused into the re-roll that already has (x_t, u_t) in
     registers (same math as ops/pallas_relin.py's sparse path, minus its
     separate dispatch and its HBM re-read of the accepted trajectory).
+
+    ``has_reg`` appends three more inputs — regS (obsdim, obsdim) SMEM,
+    regmu (obsdim, 1) SMEM, regw (1, TB) VMEM lane plane — adding the
+    per-lane-weighted shared dense stage term
+    ``regw * (x - regmu)' regS (x - regmu)`` to the in-kernel objective
+    (the GaussRegFactory term of a SumCost candidate batch).
     """
+    (x0_ref, xs_ref, us_ref, Ks_ref, ks_ref, coeffs_ref,
+     alphas_ref, umin_ref, umax_ref,
+     Q_ref, R_ref, F_ref, goal_ref,
+     obj0_ref, lin_ref, quad_ref, kssmall_ref) = refs[:17]
+    n_in = 17
+    if has_reg:
+        regS_ref, regmu_ref, regw_ref = refs[17:20]
+        n_in = 20
+    (out_xs_ref, out_us_ref, out_obj_ref, out_succ_ref,
+     out_fail_ref) = refs[n_in:n_in + 5]
+    jac_ref = refs[n_in + 5] if grad_terms is not None else None
+
     TB = x0_ref.shape[-1]
     F_feat = coeffs_ref.shape[1]
     alphas = [alphas_ref[l, 0] for l in range(L)]
@@ -312,6 +324,9 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     x = [
         jnp.broadcast_to(x0_ref[i][None, :], (L, TB)) for i in range(ds)
     ]
+    if has_reg:
+        regmu = [regmu_ref[i, 0] for i in range(obsdim)]
+        regw_row = regw_ref[0]                             # (TB,)
 
     def body1(t, carry):
         obj = carry[-1]
@@ -325,6 +340,14 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
         dxg = [x[i] - goal[i] for i in range(obsdim)]
         oc = quad_form(dxg, Q_ref, obsdim)
         cc = quad_form(u, R_ref, dc)
+        if has_reg:
+            dxm = [x[i] - regmu[i] for i in range(obsdim)]
+            reg_terms = [
+                regS_ref[i, j] * dxm[i] * dxm[j]
+                for i in range(obsdim)
+                for j in range(obsdim)
+            ]
+            oc = oc + regw_row * _tree_sum(reg_terms)
         obj = obj + dt * (oc + cc)
         x_new = step_dynamics(x, u)
         return tuple(x_new) + (obj,)
@@ -455,6 +478,7 @@ def pallas_fused_line_search(
     ls_cost_threshold: float = 0.3,
     block_b: int = 128, interpret: bool = False,
     per_lane_diag_cost: bool = False,
+    reg=None,
 ):
     """Fused line search for linear-in-features models and quadratic
     costs: rolls all alphas, evaluates the iLQR objective in-register,
@@ -479,6 +503,12 @@ def pallas_fused_line_search(
     inputs to per-lane DIAGONALS — Q/F (B, obsdim), R (B, dc), shared
     ``goal`` — the QuadCostFactory candidate space; they ride VMEM
     lanes-last like the coefficients.
+
+    ``reg``: optional ``(S (obsdim, obsdim), mu (obsdim,), w (B,))`` —
+    adds the per-lane-weighted shared dense stage term
+    ``w * (x - mu)' S (x - mu)`` to the in-kernel objective (the
+    GaussRegFactory term of SumCost candidates; S/mu shared in SMEM,
+    w a VMEM lane plane).
 
     Returns (new_xs (B, H+1, ds), new_us (B, H, dc), new_obj (B,),
     ls_success (B,) bool, failed (B,) bool)
@@ -512,6 +542,7 @@ def pallas_fused_line_search(
     kernel = functools.partial(
         _fused_kernel, term_fns, grad_terms, ds, dc, obsdim, H, L,
         float(dt), float(ls_cost_threshold), bool(per_lane_diag_cost),
+        reg is not None,
     )
     grid = (B // TB,)
 
@@ -549,6 +580,32 @@ def pallas_fused_line_search(
             sspec((obsdim, obsdim)),
         )
 
+    in_specs = [
+        vspec((ds,)), vspec((H, ds)), vspec((H, dc)),
+        vspec((H, dc, ds)), vspec((H, dc)),
+        coeffs_spec, sspec((L, 1)),
+        sspec((dc, 1)), sspec((dc, 1)),
+        Q_spec, R_spec, F_spec, sspec((obsdim, 1)),
+        vspec((1,)), vspec((1,)), vspec((1,)), vspec((1,)),
+    ]
+    inputs = [
+        x0T, xsT, usT, KsT, ksT, coeffs_in, alphas2,
+        umin2, umax2,
+        Q_in, R_in, F_in, goal2,
+        row(obj0), row(lin_red), row(quad_red),
+        row(ks_small.astype(dtype)),
+    ]
+    if reg is not None:
+        regS, regmu, regw = reg
+        in_specs += [
+            sspec((obsdim, obsdim)), sspec((obsdim, 1)), vspec((1,)),
+        ]
+        inputs += [
+            jnp.asarray(regS, dtype=dtype),
+            jnp.asarray(regmu, dtype=dtype).reshape(obsdim, 1),
+            row(regw),
+        ]
+
     out_specs = [
         vspec((H + 1, ds)),
         vspec((H, dc)),
@@ -571,22 +628,11 @@ def pallas_fused_line_search(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            vspec((ds,)), vspec((H, ds)), vspec((H, dc)),
-            vspec((H, dc, ds)), vspec((H, dc)),
-            coeffs_spec, sspec((L, 1)),
-            sspec((dc, 1)), sspec((dc, 1)),
-            Q_spec, R_spec, F_spec, sspec((obsdim, 1)),
-            vspec((1,)), vspec((1,)), vspec((1,)), vspec((1,)),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
-    )(x0T, xsT, usT, KsT, ksT, coeffs_in, alphas2,
-      umin2, umax2,
-      Q_in, R_in, F_in, goal2,
-      row(obj0), row(lin_red), row(quad_red),
-      row(ks_small.astype(dtype)))
+    )(*inputs)
 
     out_xsT, out_usT, objT, succT, failT = outs[:5]
     new_xs = jnp.transpose(out_xsT, (2, 0, 1))         # (B, H+1, ds)

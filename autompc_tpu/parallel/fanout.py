@@ -68,11 +68,20 @@ class QuadCostFanout:
         feature_spec=None,
         block_b: int = 128,
         warm_start: bool = False,
+        reg_matrix=None,
+        reg_goal=None,
     ):
+        # ``reg_matrix``/``reg_goal``: the GaussRegFactory term — the
+        # candidate batch then additionally carries per-lane weights
+        # ``regw (B,)`` and each lane's cost is the SumCost
+        # ``diag-quad(task goal) + regw * (x-mu)' Sigma^-1 (x-mu)``
+        # (make_batched_ilqr_solver's reg term). Batched impl only.
         if impl not in ("batched", "vmap"):
             raise ValueError(
                 f"impl must be 'batched' or 'vmap', got {impl!r}"
             )
+        if reg_matrix is not None and impl != "batched":
+            raise ValueError("reg_matrix requires impl='batched'")
         self.system = system
         self.task = task
         n_steps = n_steps or (task.get_num_steps() or 200) - 1
@@ -121,6 +130,11 @@ class QuadCostFanout:
                 ls_block_l=10,  # one alpha-block per program (bench-tuned)
                 quad_cost_batch=True, quad_goal=goal,
             )
+            if reg_matrix is not None:
+                solver_kw["reg_matrix"] = jnp.asarray(reg_matrix)
+                solver_kw["reg_goal"] = (
+                    jnp.asarray(reg_goal) if reg_goal is not None else None
+                )
             if feature_spec is not None:
                 # The fan-out bakes model_params at construction (the
                 # whole design assumes one fixed model per instance),
@@ -338,6 +352,8 @@ class JointSINDyQuadCostFanout:
         block_b: int = 128,
         use_feature_kernels: bool = False,
         fuse_ls: bool = False,
+        reg_matrix=None,
+        reg_goal=None,
     ):
         # Defaults are CPU-safe (XLA scan paths); TPU callers opt into
         # the Pallas kernels with backward="pallas",
@@ -346,6 +362,9 @@ class JointSINDyQuadCostFanout:
         # additionally selects the fully fused line-search kernel
         # (objective + acceptance in-kernel, per-lane diagonal costs;
         # needs use_feature_kernels and a discrete-time bucket).
+        # ``reg_matrix``/``reg_goal``: GaussRegFactory term — the batch
+        # then carries per-lane ``regw`` weights (SumCost candidates;
+        # see QuadCostFanout).
         from ..core.trajectory import batch as traj_batch
         from ..ops.lstsq import fista_lasso, stlsq
         from ..sysid.sindy import SINDy
@@ -417,6 +436,11 @@ class JointSINDyQuadCostFanout:
             batch_params=True, quad_cost_batch=True, quad_goal=goal,
             fuse_ls=bool(fuse_ls and feature_spec is not None),
         )
+        if reg_matrix is not None:
+            solver_kw["reg_matrix"] = jnp.asarray(reg_matrix)
+            solver_kw["reg_goal"] = (
+                jnp.asarray(reg_goal) if reg_goal is not None else None
+            )
         if compact_schedule is not None:
             if isinstance(compact_schedule, str):
                 from ..control.ilqr import parse_schedule
@@ -444,6 +468,8 @@ class JointSINDyQuadCostFanout:
                 "Rdiag": batch["Rdiag"],
                 "Fdiag": batch["Fdiag"],
             }
+            if "regw" in batch:
+                cost_params["regw"] = batch["regw"]
             obs0 = jnp.broadcast_to(init_obs, (B, n))
 
             def body(carry, _):
@@ -488,10 +514,10 @@ class JointSINDyQuadCostFanout:
             from jax.sharding import PartitionSpec as P
 
             spec = P(mesh.axis_names[0])
-            in_spec = jax.tree_util.tree_map(
-                lambda _: spec, {"reg": 0, "Qdiag": 0, "Rdiag": 0,
-                                 "Fdiag": 0}
-            )
+            batch_keys = {"reg": 0, "Qdiag": 0, "Rdiag": 0, "Fdiag": 0}
+            if reg_matrix is not None:
+                batch_keys["regw"] = 0
+            in_spec = jax.tree_util.tree_map(lambda _: spec, batch_keys)
             eval_jit = jax.jit(
                 jax.shard_map(
                     eval_batch, mesh=mesh,
@@ -545,6 +571,8 @@ class JointKoopmanLassoQuadCostFanout:
         warm_start: bool = False,
         backward: str = "scan",
         block_b: int = 128,
+        reg_matrix=None,
+        reg_goal=None,
     ):
         from ..core.trajectory import batch as traj_batch
         from ..ops.lstsq import fista_lasso
@@ -593,6 +621,14 @@ class JointKoopmanLassoQuadCostFanout:
             ubounds=ubounds, backward=backward, block_b=block_b,
             batch_params=True, quad_cost_batch=True, quad_goal=goal,
         )
+        if reg_matrix is not None:
+            # GaussReg term over the observation embedding (first n
+            # lifted dims) — obsdim=n, so the solver's reg slice lands
+            # on the observations exactly as in the plain-state solver.
+            solver_kw["reg_matrix"] = jnp.asarray(reg_matrix)
+            solver_kw["reg_goal"] = (
+                jnp.asarray(reg_goal) if reg_goal is not None else None
+            )
         if compact_schedule is not None:
             if isinstance(compact_schedule, str):
                 from ..control.ilqr import parse_schedule
@@ -620,6 +656,8 @@ class JointKoopmanLassoQuadCostFanout:
                 "Rdiag": batch["Rdiag"],
                 "Fdiag": batch["Fdiag"],
             }
+            if "regw" in batch:
+                cost_params["regw"] = batch["regw"]
             obs0 = jnp.broadcast_to(init_obs, (B, n))
 
             def body(carry, _):
@@ -723,6 +761,8 @@ class JointMLPQuadCostFanout:
         warm_start: bool = False,
         backward: str = "scan",
         block_b: int = 128,
+        reg_matrix=None,
+        reg_goal=None,
         max_width: int = 256,
         n_train_iters: int = 50,
         n_batch: int = 64,
@@ -842,6 +882,11 @@ class JointMLPQuadCostFanout:
             backward=backward, block_b=block_b,
             batch_params=True, quad_cost_batch=True, quad_goal=goal,
         )
+        if reg_matrix is not None:
+            solver_kw["reg_matrix"] = jnp.asarray(reg_matrix)
+            solver_kw["reg_goal"] = (
+                jnp.asarray(reg_goal) if reg_goal is not None else None
+            )
         if compact_schedule is not None:
             if isinstance(compact_schedule, str):
                 from ..control.ilqr import parse_schedule
@@ -878,6 +923,8 @@ class JointMLPQuadCostFanout:
                 "Rdiag": batch["Rdiag"],
                 "Fdiag": batch["Fdiag"],
             }
+            if "regw" in batch:
+                cost_params["regw"] = batch["regw"]
             obs0 = jnp.broadcast_to(init_obs, (B, n))
 
             def body(carry, _):
@@ -974,6 +1021,8 @@ class JointMLPQuadCostFanout:
             "Rdiag": pad(batch["Rdiag"]),
             "Fdiag": pad(batch["Fdiag"]),
         }
+        if "regw" in batch:
+            full["regw"] = pad(batch["regw"])
         return self._eval_jit(full)[:B]
 
 

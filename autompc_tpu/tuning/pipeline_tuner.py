@@ -38,6 +38,70 @@ PipelineTuneResult = namedtuple(
 """Tuning history (pipeline_tuner.py:19-77 semantics)."""
 
 
+def _cost_fanout_spec(cost_factory):
+    """Which cost-factory layouts the per-lane-cost solver covers, and
+    where their hyperparameters live in the joint config.
+
+    Returns ``None`` (unsupported) or a dict:
+
+    - ``quad_prefix``: config-name prefix of the QuadCostFactory
+      subspace under ``_cost:`` ("" for a bare QuadCostFactory,
+      ``"_sum_i:"`` inside a SumCostFactory, ``None`` if absent —
+      diagonals are then zero);
+    - ``quad_factory``: that factory instance (for its ``goal``), or
+      None;
+    - ``reg_prefix``: prefix of the GaussRegFactory subspace, or None.
+
+    Covered layouts: QuadCostFactory; GaussRegFactory; SumCostFactory
+    of at most one of each (reference's documented combination,
+    autompc/costs/gauss_reg_factory.py:17-19 "typically used in
+    combination with another cost"). The per-lane solver cost is then
+    ``diag-quad(task/factory goal) + regw * (x-mu)' Sigma_x^-1 (x-mu)``
+    (make_batched_ilqr_solver's reg term).
+    """
+    from ..costs.gauss_reg_factory import GaussRegFactory
+    from ..costs.quad_cost_factory import QuadCostFactory
+    from ..costs.sum_cost_factory import SumCostFactory
+
+    if isinstance(cost_factory, QuadCostFactory):
+        return {
+            "quad_prefix": "", "quad_factory": cost_factory,
+            "reg_prefix": None,
+        }
+    if isinstance(cost_factory, GaussRegFactory):
+        return {"quad_prefix": None, "quad_factory": None, "reg_prefix": ""}
+    if isinstance(cost_factory, SumCostFactory):
+        quad = None
+        reg = None
+        for i, f in enumerate(cost_factory.factories):
+            if isinstance(f, QuadCostFactory) and quad is None:
+                quad = (i, f)
+            elif isinstance(f, GaussRegFactory) and reg is None:
+                reg = i
+            else:
+                return None
+        return {
+            "quad_prefix": f"_sum_{quad[0]}:" if quad else None,
+            "quad_factory": quad[1] if quad else None,
+            "reg_prefix": f"_sum_{reg}:" if reg is not None else None,
+        }
+    return None
+
+
+def _gauss_reg_stats(sysid_trajs):
+    """(Sigma_x^-1, mu_x) over the sysid split — exactly
+    GaussRegFactory.__call__'s statistics (costs/gauss_reg_factory.py;
+    reference autompc/costs/gauss_reg_factory.py:38-41)."""
+    from ..core.trajectory import batch as traj_batch
+
+    tb = traj_batch(sysid_trajs)
+    mask = np.asarray(tb.mask())
+    X = np.asarray(tb.obs)[mask]
+    mean = np.mean(X, axis=0)
+    cov = np.atleast_2d(np.cov(X, rowvar=False))
+    return np.linalg.inv(cov), mean
+
+
 def _autoselect_factories():
     from ..sysid import (
         ARXFactory,
@@ -75,15 +139,20 @@ class PipelineTuner:
         "autotune", "autoselect", "pretrain"
         (pipeline_tuner.py:116-149).
 
-        ``use_fanout=True`` enables the mesh-parallel fast path: when the
-        pipeline's model is fixed, the cost factory is a QuadCostFactory,
-        and the controller factory is one of IterativeLQRFactory /
-        MPPIFactory / DirectTranscriptionControllerFactory, each ask()
-        batch is bucketed by its shape-changing hyperparameters (horizon;
-        num_path for MPPI) and every bucket is evaluated as ONE sharded
-        program (parallel/fanout.py) — candidate synthesis + closed-loop
-        surrogate rollout + metric, all on device. Per-candidate
-        surrogate trajectories are not recorded on this path.
+        ``use_fanout=True`` enables the mesh-parallel fast path: when
+        the cost factory is QuadCostFactory / GaussRegFactory / their
+        SumCostFactory combination (``_cost_fanout_spec``) and the
+        controller factory is one of IterativeLQRFactory / MPPIFactory
+        / DirectTranscriptionControllerFactory (the latter two
+        QuadCostFactory-only), each ask() batch is bucketed by its
+        shape-changing hyperparameters (horizon; num_path for MPPI) and
+        every bucket is evaluated as ONE sharded program
+        (parallel/fanout.py) — candidate synthesis + closed-loop
+        surrogate rollout + metric, all on device. Joint (model-
+        factory) pipelines fan out too: SINDy/ARX/MLP/Koopman model
+        factories train per-candidate models inside the batch.
+        Per-candidate surrogate trajectories are not recorded on this
+        path.
 
         ``fanout_compact``: optional converged-lane compaction schedule
         ``((cut_iter, size_frac), ...)`` for the iLQR fan-out's
@@ -136,27 +205,31 @@ class PipelineTuner:
           when ``use_fanout=True`` falls back — the fallback used to be
           silent).
 
-        All paths require a QuadCostFactory and an obs-state surrogate.
-        GaussRegFactory / SumCostFactory candidates are NOT diagonal
-        quadratics in the per-lane solver's sense and fall back to the
-        sequential objective.
+        Cost factories covered: QuadCostFactory, GaussRegFactory, and
+        SumCostFactory of at most one of each (``_cost_fanout_spec``) —
+        the GaussReg term rides the batched solver's per-lane-weighted
+        shared dense quadratic (iLQR kinds only; MPPI/DT fan-outs stay
+        QuadCostFactory-only). Anything else falls back to the
+        sequential objective with a warning. All paths require an
+        obs-state surrogate.
         """
         from ..control.ilqr import IterativeLQRFactory
         from ..control.mppi import MPPIFactory
         from ..control.nmpc import DirectTranscriptionControllerFactory
-        from ..costs.quad_cost_factory import QuadCostFactory
         from ..sysid.arx import ARXFactory
         from ..sysid.sindy import SINDyFactory
 
         if not self.use_fanout:
             return None, "use_fanout=False"
-        if not isinstance(pipeline.cost_factory, QuadCostFactory):
+        cost_spec = _cost_fanout_spec(pipeline.cost_factory)
+        if cost_spec is None:
             return None, (
                 "cost factory is "
                 f"{type(pipeline.cost_factory).__name__}; the per-lane "
-                "solver costs are diagonal quadratics (QuadCostFactory "
-                "space) only"
+                "solver covers QuadCostFactory / GaussRegFactory / "
+                "their SumCostFactory combination only"
             )
+        has_reg = cost_spec["reg_prefix"] is not None
         if surrogate.state_dim != pipeline.system.obs_dim:
             return None, (
                 "surrogate has lifted state "
@@ -165,6 +238,12 @@ class PipelineTuner:
                 "advances observation-state surrogates only"
             )
         cf = pipeline.controller_factory
+        if has_reg and not isinstance(cf, IterativeLQRFactory):
+            return None, (
+                "GaussReg cost candidates ride the batched iLQR "
+                "solver's reg term; the "
+                f"{type(cf).__name__} fan-out is QuadCostFactory-only"
+            )
         if pipeline.model is not None:
             if isinstance(cf, IterativeLQRFactory):
                 return "ilqr", ""
@@ -232,9 +311,12 @@ class PipelineTuner:
 
         system = pipeline.system
         n_steps = (task.get_num_steps() or 200) - 1
+        cost_spec = _cost_fanout_spec(pipeline.cost_factory)
+        qp = cost_spec["quad_prefix"]
+        rp = cost_spec["reg_prefix"]
         # Goal resolution mirrors QuadCostFactory.__call__
         # (costs/quad_cost_factory.py): factory goal wins over task goal.
-        factory_goal = getattr(pipeline.cost_factory, "goal", None)
+        factory_goal = getattr(cost_spec["quad_factory"], "goal", None)
         if factory_goal is not None:
             goal = np.nan_to_num(np.asarray(factory_goal, dtype=float))
         elif task.get_cost() is not None and task.get_cost().has_goal:
@@ -243,6 +325,14 @@ class PipelineTuner:
             )
         else:
             goal = np.zeros(system.obs_dim)
+        reg_kw = {}
+        if rp is not None:
+            # GaussReg statistics over the sysid split, computed once
+            # per tuner run (GaussRegFactory.__call__ semantics).
+            if getattr(self, "_reg_stats", None) is None:
+                self._reg_stats = _gauss_reg_stats(sysid_trajs)
+            Sreg, mureg = self._reg_stats
+            reg_kw = dict(reg_matrix=Sreg, reg_goal=mureg)
 
         # Controller kwargs resolve like ControllerFactory.__call__:
         # factory constructor kwargs override configuration values.
@@ -333,6 +423,7 @@ class PipelineTuner:
                         warm_start=self.fanout_warm_start,
                         backward=self.fanout_backward,
                         feature_spec=fs,
+                        **reg_kw,
                         **common,
                     )
                 elif kind == "mppi":
@@ -348,6 +439,7 @@ class PipelineTuner:
                         warm_start=self.fanout_warm_start,
                         backward=self.fanout_backward,
                         use_feature_kernels=self.fanout_feature_kernels,
+                        **reg_kw,
                         **common,
                     )
                 elif kind == "joint_mlp":
@@ -362,6 +454,7 @@ class PipelineTuner:
                         compact_schedule=self.fanout_compact,
                         warm_start=self.fanout_warm_start,
                         backward=self.fanout_backward,
+                        **reg_kw,
                         n_train_iters=int(
                             m_over.get("n_train_iters", 50)
                         ),
@@ -382,6 +475,7 @@ class PipelineTuner:
                             compact_schedule=self.fanout_compact,
                             warm_start=self.fanout_warm_start,
                             backward=self.fanout_backward,
+                            **reg_kw,
                             **common,
                         )
                     else:
@@ -397,6 +491,7 @@ class PipelineTuner:
                             compact_schedule=self.fanout_compact,
                             warm_start=self.fanout_warm_start,
                             backward=self.fanout_backward,
+                            **reg_kw,
                             **common,
                         )
                 elif kind == "joint_arx":
@@ -413,6 +508,7 @@ class PipelineTuner:
                         compact_schedule=self.fanout_compact,
                         warm_start=self.fanout_warm_start,
                         backward=self.fanout_backward,
+                        **reg_kw,
                         **common,
                     )
                 else:
@@ -420,23 +516,40 @@ class PipelineTuner:
                         system, task, pipeline.model, surrogate,
                         horizon_knots=key, **common,
                     )
+            # Per-lane diagonals from the QuadCostFactory subspace (its
+            # prefix is "" for a bare factory, "_sum_i:" inside a
+            # SumCostFactory; zeros when the candidate space has no quad
+            # term — pure GaussRegFactory).
             Qd, Fd, Rd = [], [], []
             for i in idxs:
                 cfg = cfgs[i]
-                Qd.append(
-                    [cfg.get(f"_cost:{o}_Q", 0.0) for o in system.observations]
-                )
-                Fd.append(
-                    [cfg.get(f"_cost:{o}_F", 0.0) for o in system.observations]
-                )
-                Rd.append(
-                    [cfg.get(f"_cost:{c}_R", 0.0) for c in system.controls]
-                )
+                if qp is None:
+                    Qd.append([0.0] * len(system.observations))
+                    Fd.append([0.0] * len(system.observations))
+                    Rd.append([0.0] * len(system.controls))
+                else:
+                    Qd.append([
+                        cfg.get(f"_cost:{qp}{o}_Q", 0.0)
+                        for o in system.observations
+                    ])
+                    Fd.append([
+                        cfg.get(f"_cost:{qp}{o}_F", 0.0)
+                        for o in system.observations
+                    ])
+                    Rd.append([
+                        cfg.get(f"_cost:{qp}{c}_R", 0.0)
+                        for c in system.controls
+                    ])
             batch = {
                 "Qdiag": jnp.asarray(np.array(Qd, dtype=float)),
                 "Fdiag": jnp.asarray(np.array(Fd, dtype=float)),
                 "Rdiag": jnp.asarray(np.array(Rd, dtype=float)),
             }
+            if rp is not None:
+                batch["regw"] = jnp.asarray([
+                    float(cfgs[i].get(f"_cost:{rp}reg_weight", 1.0))
+                    for i in idxs
+                ])
             if kind == "mppi":
                 batch["sigma"] = jnp.asarray(
                     [float(ck(cfgs[i], "sigma", 1.0)) for i in idxs]
@@ -526,6 +639,7 @@ class PipelineTuner:
         snapshot (first-class resume; the reference's SMAC runs are not
         resumable, SURVEY §5)."""
         trajs = list(trajs) if not hasattr(trajs, "to_list") else trajs.to_list()
+        self._reg_stats = None  # per-run GaussReg statistics cache
         if surrogate is None:
             surr_size = int(self.surrogate_split * len(trajs))
             shuffled = trajs[:]

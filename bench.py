@@ -241,6 +241,40 @@ def main():
             f"mean task cost {task_cost.mean():.1f}",
             file=sys.stderr,
         )
+        # HARD gate (round-2): a perf "win" that degrades closed-loop
+        # swing-up success below the threshold marks the whole run as
+        # failing quality — recorded in the JSON so the regression can't
+        # hide, and (BENCH_QUALITY_STRICT=1) a nonzero exit for CI use.
+        # Measured success at the committed configuration is ~93-97%;
+        # the default floor 0.85 leaves seed headroom without letting a
+        # real regression (e.g. a broken acceptance rule reads ~60%)
+        # pass.
+        gate_min = float(os.environ.get("BENCH_QUALITY_MIN", "0.85"))
+        gate_pass = bool(success.mean() >= gate_min)
+        quality.update(
+            quality_gate_min_success=gate_min,
+            quality_gate_pass=gate_pass,
+        )
+        if not gate_pass:
+            print(
+                f"[bench] QUALITY GATE FAILED: closed-loop success "
+                f"{success.mean() * 100:.1f}% < floor {gate_min * 100:.0f}%",
+                file=sys.stderr,
+            )
+            if os.environ.get("BENCH_QUALITY_STRICT") == "1":
+                print(
+                    json.dumps(
+                        {
+                            "metric":
+                                "ilqr_cartpole_solves_per_s_per_chip_H200",
+                            "value": round(solves_per_s, 2),
+                            "unit": "solves/s",
+                            "vs_baseline": round(solves_per_s / 1000.0, 3),
+                            "quality": quality,
+                        }
+                    )
+                )
+                sys.exit(2)
 
     print(
         json.dumps(

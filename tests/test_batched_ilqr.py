@@ -482,3 +482,58 @@ def test_batch_params_matches_vmapped_single(setup):
             np.asarray(a).astype(float), np.asarray(v).astype(float),
             atol=1e-8,
         )
+
+
+@pytest.mark.slow
+def test_reg_term_matches_sum_cost_single(setup):
+    """quad_cost_batch + reg_matrix (the GaussRegFactory term): every
+    lane of the batched solve equals the single solver run on the
+    explicit SumCost
+    ``QuadCost(diag, goal) + QuadCost(regw * S, 0, 0, goal=mu)``
+    (costs/sum_cost.py algebra) — pinning the per-lane-weighted shared
+    dense stage quadratic against the generic cost-hessian path."""
+    b, model, cost, common = setup
+    goal = jnp.zeros(4)
+    rng = np.random.default_rng(13)
+    B = 3
+    Qd = jnp.asarray(rng.uniform(0.01, 10, (B, 4)))
+    Rd = jnp.asarray(rng.uniform(1e-3, 1, (B, 1)))
+    Fd = jnp.asarray(rng.uniform(0.01, 10, (B, 4)))
+    regw = jnp.asarray(rng.uniform(0.1, 5.0, (B,)))
+    A = rng.normal(size=(4, 4))
+    S = A @ A.T / 4 + np.eye(4)                       # symmetric SPD
+    mu = rng.uniform(-0.5, 0.5, 4)
+    cps = dict(Qdiag=Qd, Rdiag=Rd, Fdiag=Fd, regw=regw)
+    x0s = jnp.asarray(
+        rng.uniform(-1, 1, (B, 4)) * np.array([3.1, 1, 1, 1])
+    )
+    ug = jnp.zeros((B, common["H"], 1))
+
+    batched = jax.jit(make_batched_ilqr_solver(
+        model.pred_core, None, backward="scan",
+        quad_cost_batch=True, quad_goal=goal,
+        reg_matrix=jnp.asarray(S), reg_goal=jnp.asarray(mu), **common
+    ))
+    out_b = batched(model.params, x0s, ug, cps)
+
+    for lane in range(B):
+        sum_cost = QuadCost(
+            b.system, jnp.diag(Qd[lane]), jnp.diag(Rd[lane]),
+            jnp.diag(Fd[lane]), goal=goal,
+        ) + QuadCost(
+            b.system, float(regw[lane]) * jnp.asarray(S),
+            jnp.zeros((1, 1)), jnp.zeros((4, 4)), goal=jnp.asarray(mu),
+        )
+        single = jax.jit(
+            make_ilqr_solver(model.pred_core, sum_cost, **common)
+        )
+        conv, xs, us, Ks, ks = single(model.params, x0s[lane], ug[0])
+        assert bool(conv) == bool(out_b[0][lane]), lane
+        np.testing.assert_allclose(
+            np.asarray(out_b[2][lane]), np.asarray(us), atol=1e-7,
+            err_msg=f"lane {lane} controls",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b[1][lane]), np.asarray(xs), atol=1e-7,
+            err_msg=f"lane {lane} states",
+        )

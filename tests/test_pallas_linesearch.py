@@ -372,3 +372,111 @@ def test_fused_per_lane_cost_and_coeffs_matches_shared_calls(model):
                     np.asarray(r[0]).astype(float),
                     rtol=1e-6, atol=1e-9,
                 )
+
+
+@pytest.mark.slow
+def test_fused_reg_term_matches_reference(model):
+    """per_lane_diag_cost + reg: the in-kernel objective adds the
+    per-lane-weighted shared dense stage term
+    ``regw * (x - mu)' S (x - mu)`` (the GaussRegFactory term of a
+    SumCost candidate batch); pin selection + outputs against an
+    explicit scan/numpy composition."""
+    from autompc_tpu.ops.pallas_linesearch import pallas_fused_line_search
+
+    rng = np.random.default_rng(17)
+    B, H, ds = 4, 7, 4
+    x0 = jnp.asarray(rng.uniform(-1, 1, (B, ds)))
+    xs = jnp.asarray(rng.uniform(-1, 1, (B, H + 1, ds)))
+    us = jnp.asarray(rng.uniform(-2, 2, (B, H, 1)))
+    Ks = jnp.asarray(rng.normal(size=(B, H, 1, ds)) * 0.3)
+    ks = jnp.asarray(rng.normal(size=(B, H, 1)))
+    alphas = 0.2 ** jnp.arange(5, dtype=x0.dtype)
+    Qd = jnp.asarray(rng.uniform(0.01, 10, (B, ds)))
+    Rd = jnp.asarray(rng.uniform(1e-3, 1, (B, 1)))
+    Fd = jnp.asarray(rng.uniform(0.01, 10, (B, ds)))
+    goal = jnp.zeros(ds)
+    A = rng.normal(size=(ds, ds))
+    S = jnp.asarray(A @ A.T / ds + np.eye(ds))
+    mu = jnp.asarray(rng.uniform(-0.5, 0.5, ds))
+    regw = jnp.asarray(rng.uniform(0.1, 5.0, (B,)))
+    dt = 0.05
+    obj0 = jnp.asarray(rng.uniform(5.0, 50.0, (B,)))
+    lin_red = jnp.asarray(-rng.uniform(0.1, 5.0, (B,)))
+    quad_red = jnp.asarray(-rng.uniform(0.1, 5.0, (B,)))
+    ks_small = jnp.array([False, False, True, False])
+
+    new_xs, new_us, new_obj, succ, failed = pallas_fused_line_search(
+        tuple(model.library._fns), x0, xs, us, Ks, ks,
+        model.coeffs, alphas, -20.0, 20.0,
+        Qd, Rd, Fd, goal, dt, obj0, lin_red, quad_red, ks_small,
+        block_b=B, interpret=True,
+        per_lane_diag_cost=True,
+        reg=(S, mu, regw),
+    )
+
+    params = model.params
+
+    def rollout(b_, alpha):
+        def step(x, inp):
+            xbar, ubar, K, k = inp
+            u = jnp.clip(alpha * k + ubar + K @ (x - xbar), -20.0, 20.0)
+            x1 = model.pred_core(params, x, u)
+            return x1, (x1, u)
+
+        _, (xs1, us1) = jax.lax.scan(
+            step, x0[b_], (xs[b_, :H], us[b_], Ks[b_], ks[b_])
+        )
+        return jnp.concatenate([x0[b_][None], xs1], axis=0), us1
+
+    def eval_obj(b_, xs_, us_):
+        dx = xs_[:H] - goal
+        oc = jnp.sum(dx * dx * Qd[b_][None, :])
+        cc = jnp.sum(us_ * us_ * Rd[b_][None, :])
+        dxm = xs_[:H] - mu
+        oc = oc + regw[b_] * jnp.sum(dxm * (dxm @ S))
+        dxT = xs_[H] - goal
+        return dt * (oc + cc) + jnp.sum(dxT * dxT * Fd[b_])
+
+    L = alphas.shape[0]
+    for b_ in range(B):
+        objs = np.array([
+            float(eval_obj(b_, *rollout(b_, alphas[l]))) for l in range(L)
+        ])
+        expect = np.asarray(alphas) * float(lin_red[b_]) + (
+            np.asarray(alphas) ** 2
+        ) * float(quad_red[b_]) / 2
+        ratios = np.where(
+            np.abs(expect) > 1e-30, (float(obj0[b_]) - objs) / -expect,
+            -np.inf,
+        )
+        accept = ratios > 0.3
+        chosen = (
+            0 if bool(ks_small[b_])
+            else (int(np.argmax(accept)) if accept.any()
+                  else int(np.argmin(objs)))
+        )
+        best_obj = objs[chosen]
+        ls_success = (best_obj < float(obj0[b_])) or bool(ks_small[b_])
+        idx_last = (
+            0 if bool(ks_small[b_])
+            else (int(np.argmax(accept)) if accept.any() else L - 1)
+        )
+        ref_failed = (not ls_success) and (
+            objs[idx_last] > float(obj0[b_]) + 1e-3
+        )
+        sel = chosen if ls_success else idx_last
+        ref_obj = best_obj if ls_success else objs[idx_last]
+        ref_xs, ref_us = rollout(b_, alphas[sel])
+        assert bool(succ[b_]) == ls_success, b_
+        assert bool(failed[b_]) == ref_failed, b_
+        np.testing.assert_allclose(
+            float(new_obj[b_]), ref_obj, rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_xs[b_]), np.asarray(ref_xs),
+            rtol=1e-6, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_us[b_]), np.asarray(ref_us),
+            rtol=1e-6, atol=1e-8,
+        )

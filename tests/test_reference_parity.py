@@ -285,6 +285,137 @@ def test_finite_horizon_lqr_gain_matches_reference():
     np.testing.assert_allclose(np.asarray(K_ours), K_ref, rtol=1e-9, atol=1e-12)
 
 
+class _RefMPPITaskShim:
+    """Task surface consumed by the reference MPPI __init__
+    (mppi.py:73, 101-103): get_cost + numpy ctrl bounds."""
+
+    def __init__(self, cost, bounds):
+        self._cost = _RefCostShim(cost)
+        self._bounds = np.asarray(bounds, dtype=float)
+
+    def get_cost(self):
+        return self._cost
+
+    def get_ctrl_bounds(self):
+        return self._bounds
+
+
+class _OurModelShim:
+    """Minimal model surface for OUR MPPI (control/mppi.py):
+    pred_core + state_dim + params."""
+
+    def __init__(self, step_fn, ds):
+        self.state_dim = ds
+        self.params = {}
+        self._step = step_fn
+
+    def pred_core(self, params, x, u):
+        return self._step(x, u)
+
+
+@pytest.mark.parametrize("sigma,lmda", [(1.0, 1.0), (0.6, 0.35)])
+def test_mppi_rollout_and_update_match_reference(sigma, lmda):
+    """Pin our MPPI rollout/cost/weight-update math to the EXECUTED
+    reference (autompc/control/mppi.py:110-152) on identical injected
+    noise. The PRNGs differ by design (explicit jax.random vs global
+    numpy), so both implementations are fed the SAME perturbation draws
+    through their deterministic hooks; everything downstream — control
+    clipping in normalized units, the eps re-adjustment after clipping,
+    per-step obs/ctrl costs, the lmda/sigma action-cost term, terminal
+    cost, and the softmax sequence update — must then agree to float
+    tolerance."""
+    ref_mppi_mod = _load_ref_control("mppi")
+    from autompc_tpu.control.mppi import MPPI as OurMPPI
+    from autompc_tpu.core.task import Task
+
+    system, step, _ = _cartpole_setup(np.zeros(4))
+    # F = 0: the reference's terminal term is buggy — ``terminal_cost``
+    # reads ``path[-1]`` where path is (num_path, ds), i.e. the LAST
+    # SAMPLE LANE's terminal cost broadcast to every path (mppi.py:
+    # 80-84, 146-148; vestige of the commented-out (H+1, num_path, ds)
+    # layout). We compute the intended per-path terminal cost, so the
+    # parity pin zeroes the terminal matrix and covers everything else
+    # exactly.
+    cost = QuadCost(
+        system,
+        jnp.diag(jnp.array([10.0, 0.1, 0.05, 0.05])),
+        0.01 * jnp.eye(1),
+        jnp.zeros((4, 4)),
+        goal=jnp.zeros(4),
+    )
+    H, P = 12, 64
+    bounds = np.array([[-20.0, 20.0]])
+
+    rng = np.random.default_rng(5)
+    x0 = rng.uniform(-1, 1, 4) * np.array([3.0, 1.0, 1.0, 1.0])
+    seq0 = 0.3 * rng.standard_normal((H, 1))
+    eps_np = np.sqrt(sigma) * rng.standard_normal((H, P, 1))
+
+    # ---- reference side ---------------------------------------------
+    np.random.seed(0)  # reference __init__ draws the initial sequence
+    ref = ref_mppi_mod.MPPI(
+        _RefSystemShim(4, 1, system.dt),
+        _RefMPPITaskShim(cost, bounds),
+        _RefModelWithSystemShim(step, ds=4, dt=system.dt),
+        horizon=H, num_path=P, sigma=sigma, lmda=lmda,
+    )
+    ref.act_sequence = seq0.copy()
+    # do_rollouts draws noise as sample((num_path, H)).transpose(1,0,2)
+    # (mppi.py:126); feed it the fixed draws in that layout.
+    ref.noise_dist = types.SimpleNamespace(
+        sample=lambda shape: eps_np.transpose((1, 0, 2)).copy()
+    )
+    costs_ref, eps_ref = ref.do_rollouts(x0)
+    ref.update(costs_ref, eps_ref)
+    seq_ref = ref.act_sequence.copy()
+    u_ref = seq_ref[0] * ref.ctrl_scale
+
+    # ---- our side ----------------------------------------------------
+    task = Task(system)
+    task.set_cost(cost)
+    task.set_ctrl_bounds(bounds[:, 0], bounds[:, 1])
+    ours = OurMPPI(
+        system, task, _OurModelShim(step, ds=4),
+        horizon=H, num_path=P, sigma=sigma, lmda=lmda,
+    )
+    # Reference do_rollouts shifts the nominal sequence in place first
+    # (mppi.py:122-123); our step() does the same shift before sampling.
+    seq_shift = jnp.concatenate(
+        [jnp.asarray(seq0)[1:], jnp.asarray(seq0)[-1:]], axis=0
+    )
+    costs_ours, eps_ours = ours._do_rollouts(
+        {}, jnp.asarray(x0), seq_shift, key=None, eps=jnp.asarray(eps_np)
+    )
+    seq_ours = ours._update_sequence(seq_shift, costs_ours, eps_ours)
+    u_ours = seq_ours[0] * ours._ctrl_scale
+
+    np.testing.assert_allclose(
+        np.asarray(costs_ours), costs_ref, rtol=1e-8, atol=1e-10,
+        err_msg="per-path costs",
+    )
+    np.testing.assert_allclose(
+        np.asarray(eps_ours), eps_ref, rtol=1e-9, atol=1e-12,
+        err_msg="clip-adjusted perturbations",
+    )
+    np.testing.assert_allclose(
+        np.asarray(seq_ours), seq_ref, rtol=1e-8, atol=1e-10,
+        err_msg="updated nominal sequence",
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_ours), u_ref, rtol=1e-8, atol=1e-10,
+        err_msg="emitted control",
+    )
+
+
+class _RefModelWithSystemShim(_RefModelShim):
+    """Reference MPPI additionally reads model.system.ctrl_dim
+    (mppi.py:86-88)."""
+
+    def __init__(self, step_fn, ds, dt):
+        super().__init__(step_fn, ds)
+        self.system = _RefSystemShim(ds, 1, dt)
+
+
 def test_infinite_horizon_riccati_matches_reference_fixed_point():
     """The reference's InfiniteHorizonLQR calls an undefined ``dare``
     (lqr.py:104 — broken); its ``_inf_horz_dt_lqr`` fixed-point helper

@@ -194,6 +194,65 @@ class TestPipelineTunerFanout:
                 assert np.isinf(cs) == np.isinf(cf)
 
     @pytest.mark.slow
+    def test_gauss_reg_sum_cost_fanout_matches_sequential(
+        self, benchmark, trajs
+    ):
+        """SumCostFactory(QuadCostFactory + GaussRegFactory) candidates
+        ride the fan-out via the batched solver's per-lane-weighted
+        shared dense reg term (make_batched_ilqr_solver reg_matrix);
+        the sequential objective builds the explicit SumCost through
+        the generic cost-hessian path. Scores must agree — and the
+        fan-out must actually engage (no fallback warning)."""
+        import warnings
+
+        from autompc_tpu.costs import GaussRegFactory, SumCostFactory
+        from autompc_tpu.sysid import SINDy
+
+        model = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        model.train(trajs)
+        cost_factory = SumCostFactory(
+            benchmark.system,
+            [
+                QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+                GaussRegFactory(benchmark.system),
+            ],
+        )
+        pipeline = Pipeline(
+            benchmark.system,
+            model,  # fixed model => fan-out eligible
+            cost_factory,
+            IterativeLQRFactory(benchmark.system, horizon=6),
+        )
+        task = benchmark.task.copy()
+        task.set_num_steps(25)
+
+        seq = PipelineTuner(surrogate_mode="pretrain", eval_batch=2)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=2, use_fanout=True
+        )
+        rng1 = np.random.default_rng(3)
+        rng2 = np.random.default_rng(3)
+        _, res_seq = seq.run(
+            pipeline, task, trajs, n_iters=4, rng=rng1, surrogate=model
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # fallback warns => fail
+            _, res_fan = fan.run(
+                pipeline, task, trajs, n_iters=4, rng=rng2, surrogate=model
+            )
+        for cs, cf in zip(res_seq.costs, res_fan.costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=1e-6, abs=1e-6), (
+                    res_seq.costs, res_fan.costs,
+                )
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
+
+    @pytest.mark.slow
     def test_joint_sindy_fanout_matches_sequential(self, benchmark, trajs):
         """JOINT tuning (model factory, not a fixed model): per-candidate
         SINDy training + cost + controller, fused on the fan-out path,
@@ -239,6 +298,72 @@ class TestPipelineTunerFanout:
             make_pipeline(), task, trajs, n_iters=4, rng=rng2,
             surrogate=surrogate,
         )
+        for cs, cf in zip(res_seq.costs, res_fan.costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=1e-6, abs=1e-6), (
+                    res_seq.costs, res_fan.costs,
+                )
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
+
+    @pytest.mark.slow
+    def test_joint_sindy_gauss_reg_fanout_matches_sequential(
+        self, benchmark, trajs
+    ):
+        """JOINT SINDy tuning with a SumCostFactory(QuadCost + GaussReg)
+        cost space: per-lane training AND the per-lane-weighted reg
+        term fuse into one program; scores must match the sequential
+        train-per-candidate objective."""
+        import warnings
+
+        from autompc_tpu.costs import GaussRegFactory, SumCostFactory
+        from autompc_tpu.sysid import SINDy
+
+        surrogate = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        surrogate.train(trajs)
+
+        def make_pipeline():
+            return Pipeline(
+                benchmark.system,
+                SINDyFactory(
+                    benchmark.system,
+                    method="lstsq", time_mode="discrete",
+                    poly_basis="false", trig_basis="true", trig_freq=1,
+                    trig_interaction="true",
+                ),
+                SumCostFactory(
+                    benchmark.system,
+                    [
+                        QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+                        GaussRegFactory(benchmark.system),
+                    ],
+                ),
+                IterativeLQRFactory(benchmark.system, horizon=6),
+            )
+
+        task = benchmark.task.copy()
+        task.set_num_steps(20)
+
+        seq = PipelineTuner(surrogate_mode="pretrain", eval_batch=2)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=2, use_fanout=True
+        )
+        rng1 = np.random.default_rng(5)
+        rng2 = np.random.default_rng(5)
+        _, res_seq = seq.run(
+            make_pipeline(), task, trajs, n_iters=4, rng=rng1,
+            surrogate=surrogate,
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            _, res_fan = fan.run(
+                make_pipeline(), task, trajs, n_iters=4, rng=rng2,
+                surrogate=surrogate,
+            )
         for cs, cf in zip(res_seq.costs, res_fan.costs):
             if np.isfinite(cs) and np.isfinite(cf):
                 assert cf == pytest.approx(cs, rel=1e-6, abs=1e-6), (
@@ -390,10 +515,13 @@ class TestPipelineTunerFanout:
         assert len(res.costs) == 2
 
     def test_fanout_fallback_warns_with_reason(self, benchmark, trajs):
-        """use_fanout=True with an uncovered pipeline (GaussRegFactory
-        cost) warns instead of silently degrading to the sequential
-        path (round-1 VERDICT item 10)."""
-        from autompc_tpu.costs import GaussRegFactory
+        """use_fanout=True with an uncovered pipeline warns instead of
+        silently degrading to the sequential path (round-1 VERDICT item
+        10). GaussRegFactory alone is covered since round 2 (the
+        batched solver's reg term), so the uncovered layout here is a
+        SumCostFactory of TWO QuadCostFactories — outside
+        _cost_fanout_spec's at-most-one-of-each contract."""
+        from autompc_tpu.costs import GaussRegFactory, SumCostFactory
         from autompc_tpu.sysid import SINDy
 
         surrogate = SINDy(
@@ -403,17 +531,34 @@ class TestPipelineTunerFanout:
         )
         surrogate.train(trajs)
         model = surrogate
-        pipeline = Pipeline(
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=1, use_fanout=True
+        )
+
+        # GaussRegFactory alone: now eligible (reg term, zero diags).
+        reg_pipeline = Pipeline(
             benchmark.system,
             model,
             GaussRegFactory(benchmark.system),
             IterativeLQRFactory(benchmark.system, horizon=5),
         )
+        kind, reason = fan._fanout_kind(reg_pipeline, surrogate)
+        assert kind == "ilqr", reason
+
+        pipeline = Pipeline(
+            benchmark.system,
+            model,
+            SumCostFactory(
+                benchmark.system,
+                [
+                    QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+                    QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+                ],
+            ),
+            IterativeLQRFactory(benchmark.system, horizon=5),
+        )
         task = benchmark.task.copy()
         task.set_num_steps(10)
-        fan = PipelineTuner(
-            surrogate_mode="pretrain", eval_batch=1, use_fanout=True
-        )
         kind, reason = fan._fanout_kind(pipeline, surrogate)
         assert kind is None
         assert "QuadCostFactory" in reason
