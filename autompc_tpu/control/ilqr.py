@@ -51,6 +51,7 @@ def make_ilqr_solver(
     ls_cost_threshold: float = 0.3,
     unroll: int = 8,
     backward: str = "scan",
+    pred_diff=None,
 ):
     """Build a jittable iLQR solve:
     ``solve(params, x0, uguess) -> (converged, xs, us, Ks, ks)``.
@@ -58,6 +59,11 @@ def make_ilqr_solver(
     ``backward``: "scan" (sequential ``lax.scan``) or "assoc"
     (O(log H)-depth associative-scan Riccati for long horizons;
     ops/riccati.py:tvlqr_backward_assoc).
+
+    ``pred_diff``: optional ``(params, x, u) -> (pred, Jx, Ju)`` with a
+    closed-form model Jacobian (e.g. ``MLP.pred_diff_core``) replacing
+    the default ``jax.jacfwd`` formulation — see
+    ``make_batched_ilqr_solver``.
 
     Semantics mirror ``IterativeLQR.compute_ilqr_default``
     (ilqr.py:100-265), including its quirks: Jacobians are only
@@ -72,11 +78,16 @@ def make_ilqr_solver(
     def clip_u(u):
         return jnp.clip(u, umin, umax) if ubounds is not None else u
 
-    def forward(params, x0, us):
-        def step(x, u):
+    if pred_diff is None:
+        def pred_diff(params, x, u):
             pred = pred_core(params, x, u)
             jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
             ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
+            return pred, jx, ju
+
+    def forward(params, x0, us):
+        def step(x, u):
+            pred, jx, ju = pred_diff(params, x, u)
             return pred, (pred, jx, ju)
 
         _, (xs1, Jx, Ju) = jax.lax.scan(step, x0, us, unroll=unroll)
@@ -84,8 +95,7 @@ def make_ilqr_solver(
 
     def relinearize(params, xs, us):
         def one(x, u):
-            jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
-            ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
+            _, jx, ju = pred_diff(params, x, u)
             return jx, ju
 
         return jax.vmap(one)(xs[:H], us)
@@ -250,6 +260,7 @@ def make_batched_ilqr_solver(
     batch_params: bool = False,
     reg_matrix=None,
     reg_goal=None,
+    pred_diff=None,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
     (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
@@ -301,6 +312,14 @@ def make_batched_ilqr_solver(
     hessian becomes dense, so the diagonal-specialized backward kernel
     is replaced by the dense-expansion Pallas backward automatically;
     ``reg_matrix`` must be symmetric (gradient ``2 regw S (x-mu)``).
+
+    ``pred_diff``: optional ``(params, x, u) -> (pred, Jx, Ju)`` with a
+    CLOSED-FORM model Jacobian (e.g. ``MLP.pred_diff_core``'s layer
+    chain, sysid/mlp.py:net_apply_jac) — replaces the ``jax.jacfwd``
+    formulation in the forward/relinearization phases, which pays one
+    forward per input dimension (24 tangents at halfcheetah scale).
+    Ignored when ``feature_spec`` provides the linear-in-features
+    kernels.
 
     Functionally equivalent to ``jax.vmap(make_ilqr_solver(...))`` (the
     outer iteration is a single ``while_loop`` with per-lane activity
@@ -482,6 +501,13 @@ def make_batched_ilqr_solver(
             jac = jnp.einsum("hfd,sf->hsd", Jth, params[coeffs_key])
             return jac[..., :ds], jac[..., ds:]
 
+        if pred_diff is not None:
+            def one_pd(x, u):
+                _, jx, ju = pred_diff(params, x, u)
+                return jx, ju
+
+            return jax.vmap(one_pd)(xs[:H], us)
+
         def one(x, u):
             jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
             ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
@@ -499,6 +525,14 @@ def make_batched_ilqr_solver(
             xs = jnp.concatenate([x0[None], xs1], axis=0)
             Jx, Ju = relinearize_one(params, xs, us)
             return xs, Jx, Ju
+
+        if pred_diff is not None:
+            def step_pd(x, u):
+                pred, jx, ju = pred_diff(params, x, u)
+                return pred, (pred, jx, ju)
+
+            _, (xs1, Jx, Ju) = jax.lax.scan(step_pd, x0, us, unroll=unroll)
+            return jnp.concatenate([x0[None], xs1], axis=0), Jx, Ju
 
         def step(x, u):
             pred = pred_core(params, x, u)
@@ -1200,6 +1234,11 @@ class IterativeLQR(Controller):
             obsdim=system.obs_dim,
             dt=system.dt,
             ubounds=ubounds,
+            # Models exposing a closed-form Jacobian (MLP's layer
+            # chain, sysid/mlp.py:pred_diff_core) skip jacfwd's
+            # per-input tangent pushforwards in the forward/relin
+            # phases.
+            pred_diff=getattr(model, "pred_diff_core", None),
         )
 
     @property

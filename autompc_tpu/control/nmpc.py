@@ -63,6 +63,7 @@ def make_sqp_solver(
     merit_mu: float = 100.0,
     reg: float = 1e-7,
     backward: str = "scan",
+    pred_diff=None,
 ):
     """Build ``solve(params, x0, xs_guess, us_guess) -> (xs, us)``.
 
@@ -96,6 +97,15 @@ def make_sqp_solver(
         )
 
     def linearize(params, xs, us):
+        if pred_diff is not None:
+            # Closed-form model Jacobians (e.g. MLP.pred_diff_core) —
+            # same option as make_batched_ilqr_solver's ``pred_diff``.
+            def one_pd(x, u):
+                _, jx, ju = pred_diff(params, x, u)
+                return jx, ju
+
+            return jax.vmap(one_pd)(xs[:H], us)
+
         def one(x, u):
             jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
             ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
@@ -185,6 +195,7 @@ class DirectTranscriptionController(Controller):
             obsdim=system.obs_dim,
             dt=system.dt,
             ubounds=(finite_lo, finite_hi),
+            pred_diff=getattr(model, "pred_diff_core", None),
         )
 
     @property

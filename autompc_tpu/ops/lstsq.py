@@ -101,6 +101,67 @@ def stlsq(A, y, threshold, n_iters=10, mask=None):
     return coefs
 
 
+def stlsq_gram(G, b, threshold, n_iters=10, ridge=1e-9):
+    """STLSQ on precomputed NORMAL EQUATIONS: ``G = A'A`` (d, d),
+    ``b = A'y`` (d, k).
+
+    Same iteration as ``stlsq`` — solve on the active support, zero
+    ``|coef| < threshold``, re-solve — but each masked solve is a
+    (d, d) linear system instead of an (N, d) SVD. The joint tuning
+    fan-out trains HUNDREDS of candidate lanes against the SAME staged
+    data matrix (only the threshold varies per lane), so G/b stage once
+    and the per-lane cost drops from O(N d^2) SVDs to O(d^3) solves —
+    measured 512-lane cartpole training 3,860 ms -> the closed loop's
+    noise floor (tools/profile_joint_fanout.py).
+
+    Support masking zeroes the pruned rows/columns of G and puts 1 on
+    their diagonal (with the right-hand side masked, pruned coords
+    solve to exactly 0); ``ridge`` (scaled by mean(diag G)) stabilizes
+    the squared conditioning of the normal equations in f32.
+
+    Returns (d, k) coefficients — matches ``stlsq`` up to conditioning
+    (pinned by tests/test_sindy_ilqr.py's gram-vs-svd test).
+    """
+    if b.ndim == 1:
+        b = b[:, None]
+    d = G.shape[0]
+    scale = jnp.trace(G) / d
+
+    def solve_with_support(support):
+        def solve_col(sup, b_col):
+            Gm = G * sup[None, :] * sup[:, None]
+            Gm = Gm + jnp.diag((1.0 - sup) + ridge * scale * sup)
+            sol = jnp.linalg.solve(Gm, b_col * sup)
+            return sol * sup
+
+        return jax.vmap(solve_col, in_axes=(1, 1), out_axes=1)(support, b)
+
+    def body(_, carry):
+        coefs, support = carry
+        coefs = solve_with_support(support)
+        support = (jnp.abs(coefs) >= threshold).astype(G.dtype)
+        coefs = coefs * support
+        return coefs, support
+
+    support0 = jnp.ones(b.shape, dtype=G.dtype)
+    coefs0 = jnp.zeros(b.shape, dtype=G.dtype)
+    coefs, support = jax.lax.fori_loop(0, n_iters, body, (coefs0, support0))
+    return solve_with_support(support)
+
+
+def gram_stage(A, y, mask=None):
+    """(G, b) = (A'A, A'y) with optional row masking — the staging step
+    for ``stlsq_gram`` (one pass over the data, shared across every
+    candidate lane)."""
+    if y.ndim == 1:
+        y = y[:, None]
+    if mask is not None:
+        rmask = mask.astype(A.dtype)[:, None]
+        A = A * rmask
+        y = y * rmask
+    return A.T @ A, A.T @ y
+
+
 def soft_threshold(x, thresh):
     return jnp.sign(x) * jnp.maximum(jnp.abs(x) - thresh, 0.0)
 

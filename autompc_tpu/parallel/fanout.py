@@ -406,12 +406,21 @@ class JointSINDyQuadCostFanout:
         A_mat = feats.reshape(-1, library.n_features)
         y_mat = targets.reshape(-1, n)
         rmask = mask.reshape(-1)
+        # Normal-equations staging: all candidate lanes share the SAME
+        # data matrix (only the regularizer varies), so the Gram pair
+        # stages once and each lane's STLSQ is (F, F) solves instead of
+        # (N, F) SVDs — training was 99% of the joint eval before this
+        # (3,860 of 3,905 ms at 512 lanes;
+        # tools/profile_joint_fanout.py).
+        from ..ops.lstsq import gram_stage, stlsq_gram
+
+        G_mat, b_mat = gram_stage(A_mat, y_mat, mask=rmask)
 
         def train_one(reg):
             if method == "lasso":
                 coefs = fista_lasso(A_mat, y_mat, reg, mask=rmask)
             else:
-                coefs = stlsq(A_mat, y_mat, reg, mask=rmask)
+                coefs = stlsq_gram(G_mat, b_mat, reg)
             return coefs.T                              # (n, F)
 
         def pred_core(params, state, ctrl):
@@ -877,10 +886,42 @@ class JointMLPQuadCostFanout:
             )
             return state + (dyt * dy_std_j + dy_means_j)
 
+        from ..sysid.mlp import _NONLIN_DERIV
+
+        dact = _NONLIN_DERIV[nonlintype]
+
+        def pred_diff(params, state, ctrl):
+            # Closed-form layer-chain Jacobian of the masked net
+            # (sysid/mlp.py:net_apply_jac semantics, with the max-width
+            # masks folded into each W) — replaces jacfwd's per-input
+            # tangent pushforwards in the solver's forward/relin phases.
+            net = params["net"]
+            wmasks, bmasks = params["wmasks"], params["bmasks"]
+            xu = jnp.concatenate([state, ctrl], axis=-1)
+            x = (xu - xu_means_j) / xu_std_j
+            J = None
+            for layer, wm, bm in zip(net[:-1], wmasks[:-1], bmasks[:-1]):
+                W = layer["W"] * wm
+                a = x @ W + layer["b"] * bm
+                d = dact(a)
+                J = (
+                    d[:, None] * W.T if J is None
+                    else d[:, None] * (W.T @ J)
+                )
+                x = act(a)
+            W = net[-1]["W"] * wmasks[-1]
+            dyt = x @ W + net[-1]["b"] * bmasks[-1]
+            Jn = W.T if J is None else W.T @ J
+            Jm = (dy_std_j[:, None] * Jn) / xu_std_j[None, :]
+            pred = state + (dyt * dy_std_j + dy_means_j)
+            Jx = jnp.eye(n, dtype=Jm.dtype) + Jm[:, :n]
+            return pred, Jx, Jm[:, n:]
+
         solver_kw = dict(
             H=horizon, ds=n, dc=dc, obsdim=n, dt=dt, ubounds=ubounds,
             backward=backward, block_b=block_b,
             batch_params=True, quad_cost_batch=True, quad_goal=goal,
+            pred_diff=pred_diff,
         )
         if reg_matrix is not None:
             solver_kw["reg_matrix"] = jnp.asarray(reg_matrix)

@@ -185,7 +185,16 @@ class SINDy(Model):
         if self.method == "lasso":
             coefs = fista_lasso(A, y, self.lasso_alpha, mask=rmask)
         else:
-            coefs = stlsq(A, y, self.threshold, mask=rmask)
+            # Normal-equations STLSQ: one Gram staging pass, then (F, F)
+            # masked solves — same iteration as ops/lstsq.py:stlsq with
+            # ~N/F times less solve work, and the SAME trainer the joint
+            # tuning fan-out vmaps per candidate lane
+            # (parallel/fanout.py:JointSINDyQuadCostFanout), keeping the
+            # fan-out/sequential parity exact.
+            from ..ops.lstsq import gram_stage, stlsq_gram
+
+            G, bvec = gram_stage(A, y, mask=rmask)
+            coefs = stlsq_gram(G, bvec, self.threshold)
         self.coeffs = coefs.T  # (n, F)
 
     # -- prediction ----------------------------------------------------

@@ -165,6 +165,12 @@ class SINDyBucketEvaluator:
         A = feats.reshape(-1, library.n_features)
         y = targets.reshape(-1, n)
         rmask = mask.reshape(-1)
+        # Shared-data Gram staging: every candidate trains against the
+        # same matrix, so each lane's STLSQ is (F, F) solves (see
+        # JointSINDyQuadCostFanout / ops/lstsq.py:stlsq_gram).
+        from ..ops.lstsq import gram_stage, stlsq_gram
+
+        G_mat, b_mat = gram_stage(A, y, mask=rmask)
 
         tb_h = traj_batch(holdout)
         hobs, hctrls, hlens = tb_h.obs, tb_h.ctrls, tb_h.lengths
@@ -175,7 +181,7 @@ class SINDyBucketEvaluator:
             if method == "lasso":
                 coefs = fista_lasso(A, y, reg, mask=rmask)
             else:
-                coefs = stlsq(A, y, reg, mask=rmask)
+                coefs = stlsq_gram(G_mat, b_mat, reg)
             coeffs = coefs.T                     # (n, F)
 
             def pred(states, u):

@@ -212,6 +212,14 @@ def main():
         backward=hc_backward,
         max_iter=int(os.environ.get("BENCH_HC_ILQR_ITERS", "50")),
         block_b=int(os.environ.get("BENCH_HC_ILQR_BLOCK", "256")),
+        # Closed-form layer-chain Jacobians for the forward/relin
+        # phases (sysid/mlp.py:net_apply_jac) instead of jacfwd's 24
+        # tangent pushforwards; BENCH_HC_ILQR_JAC=jacfwd compares.
+        pred_diff=(
+            hc_model.pred_diff_core
+            if os.environ.get("BENCH_HC_ILQR_JAC", "analytic") == "analytic"
+            else None
+        ),
     ))
     rng_hc = np.random.default_rng(0)
     hc_x0s = jnp.asarray(

@@ -179,3 +179,95 @@ class TestMPPI:
         assert cfg["horizon"] == 20 and cfg["num_path"] == 200
         con = factory(cfg, self._task(benchmark), trained_mlp)
         assert con.H == 20
+
+
+class TestAnalyticJacobian:
+    """net_apply_jac's closed-form layer chain vs jax.jacfwd."""
+
+    @pytest.mark.parametrize(
+        "nonlin", ["relu", "tanh", "sigmoid", "selu"]
+    )
+    def test_net_jac_matches_jacfwd(self, nonlin):
+        from autompc_tpu.sysid.mlp import (
+            net_apply,
+            net_apply_jac,
+            net_init,
+        )
+
+        key = jax.random.PRNGKey(0)
+        for sizes in ([7, 16, 5], [7, 16, 16, 16, 5], [7, 5]):
+            key, k = jax.random.split(key)
+            params = net_init(k, sizes)
+            x = jax.random.normal(key, (sizes[0],))
+            out, J = net_apply_jac(params, x, nonlin)
+            out_ref = net_apply(params, x, nonlin)
+            J_ref = jax.jacfwd(lambda z: net_apply(params, z, nonlin))(x)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(out_ref), atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(J), np.asarray(J_ref), atol=1e-10,
+                err_msg=f"{nonlin} {sizes}",
+            )
+
+    def test_pred_diff_core_matches_jacfwd(self, trained_mlp):
+        params = trained_mlp.params
+        s = jnp.array([0.4, -0.1, 0.2, 0.05])
+        u = jnp.array([2.0])
+        pred, Jx, Ju = trained_mlp.pred_diff_core(params, s, u)
+        np.testing.assert_allclose(
+            np.asarray(pred),
+            np.asarray(trained_mlp.pred_core(params, s, u)),
+            atol=1e-12,
+        )
+        Jx_ref = jax.jacfwd(
+            lambda z: trained_mlp.pred_core(params, z, u)
+        )(s)
+        Ju_ref = jax.jacfwd(
+            lambda z: trained_mlp.pred_core(params, s, z)
+        )(u)
+        np.testing.assert_allclose(np.asarray(Jx), np.asarray(Jx_ref),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Ju), np.asarray(Ju_ref),
+                                   atol=1e-10)
+
+    @pytest.mark.slow
+    def test_batched_solver_pred_diff_matches_jacfwd(
+        self, benchmark, trained_mlp
+    ):
+        """make_batched_ilqr_solver(pred_diff=...) is lane-for-lane
+        identical to the jacfwd formulation."""
+        from autompc_tpu.control.ilqr import make_batched_ilqr_solver
+
+        bounds = benchmark.task.get_ctrl_bounds()
+        cost = QuadCost(
+            benchmark.system,
+            jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01])),
+            0.001 * jnp.eye(1),
+            jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01])),
+            goal=jnp.zeros(4),
+        )
+        kw = dict(
+            H=8, ds=4, dc=1, obsdim=4, dt=benchmark.system.dt,
+            ubounds=(bounds[:, 0], bounds[:, 1]), max_iter=8,
+            backward="scan",
+        )
+        sj = jax.jit(make_batched_ilqr_solver(
+            trained_mlp.pred_core, cost, **kw
+        ))
+        sa = jax.jit(make_batched_ilqr_solver(
+            trained_mlp.pred_core, cost,
+            pred_diff=trained_mlp.pred_diff_core, **kw
+        ))
+        rng = np.random.default_rng(2)
+        x0s = jnp.asarray(rng.uniform(-1, 1, (4, 4)))
+        ug = jnp.zeros((4, 8, 1))
+        out_j = sj(trained_mlp.params, x0s, ug)
+        out_a = sa(trained_mlp.params, x0s, ug)
+        np.testing.assert_array_equal(
+            np.asarray(out_j[0]), np.asarray(out_a[0])
+        )
+        for a, v in zip(out_a[1:], out_j[1:]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(v), atol=1e-8
+            )

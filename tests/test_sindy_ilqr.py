@@ -399,3 +399,38 @@ class TestAnalyticJacobian:
         )
         J = np.asarray(lib.jacobian(jnp.zeros(3)))
         assert np.isfinite(J).all()
+
+
+def test_stlsq_gram_matches_svd_stlsq():
+    """Normal-equations STLSQ (ops/lstsq.py:stlsq_gram — the shared-data
+    trainer the joint fan-out vmaps per lane) recovers the same support
+    and near-identical coefficients as the SVD formulation on the
+    cartpole staging."""
+    import jax.numpy as jnp
+
+    from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
+    from autompc_tpu.core.trajectory import batch as traj_batch
+    from autompc_tpu.ops.lstsq import gram_stage, stlsq, stlsq_gram
+    from autompc_tpu.sysid import SINDy
+
+    b = CartpoleSwingupBenchmark()
+    trajs = b.gen_trajs_batch(seed=42, n_trajs=40, traj_len=60)
+    skeleton = SINDy(
+        b.system, method="lstsq", threshold=1e-3,
+        trig_basis=True, trig_freq=1, trig_interaction=True,
+        time_mode="discrete",
+    )
+    tb = traj_batch(trajs.to_list())
+    feats = skeleton.library(jnp.concatenate([tb.obs, tb.ctrls], axis=-1))
+    A = feats.reshape(-1, skeleton.library.n_features)
+    y = jnp.roll(tb.obs, -1, axis=1).reshape(-1, 4)
+    rmask = tb.step_mask().reshape(-1)
+
+    for thresh in (1e-3, 1e-2):
+        c_svd = np.asarray(stlsq(A, y, thresh, mask=rmask))
+        G, bv = gram_stage(A, y, mask=rmask)
+        c_gram = np.asarray(stlsq_gram(G, bv, thresh))
+        np.testing.assert_array_equal(c_svd != 0, c_gram != 0,
+                                      err_msg=f"support at {thresh}")
+        np.testing.assert_allclose(c_gram, c_svd, rtol=1e-5, atol=1e-8,
+                                   err_msg=f"coefs at {thresh}")
