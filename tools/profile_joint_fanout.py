@@ -48,7 +48,7 @@ def main():
     from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
     from autompc_tpu.control.ilqr import make_batched_ilqr_solver
     from autompc_tpu.core.trajectory import batch as traj_batch
-    from autompc_tpu.ops.lstsq import stlsq
+    from autompc_tpu.ops.lstsq import gram_stage, stlsq_gram
     from autompc_tpu.sysid import SINDy
 
     B = int(os.environ.get("PROF_B", "512"))
@@ -75,8 +75,11 @@ def main():
     y_mat = targets.reshape(-1, n)
     rmask = tb.step_mask().reshape(-1)
 
+    # Gram-staged training (the production path since stlsq_gram).
+    G_mat, b_mat = gram_stage(A_mat, y_mat, mask=rmask)
+
     def train_one(reg):
-        return stlsq(A_mat, y_mat, reg, mask=rmask).T
+        return stlsq_gram(G_mat, b_mat, reg).T
 
     train_jit = jax.jit(jax.vmap(train_one))
 
