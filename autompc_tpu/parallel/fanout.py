@@ -1085,7 +1085,12 @@ class DirectTranscriptionFanout:
         n_steps: Optional[int] = None,
         mesh=None,
         goal=None,
+        reg_matrix=None,
+        reg_goal=None,
     ):
+        # ``reg_matrix``/``reg_goal``: GaussRegFactory term, as a
+        # per-lane SumCost through the generic SQP cost path (see
+        # MPPIFanout).
         from ..control.nmpc import make_sqp_solver
 
         n_steps = n_steps or (task.get_num_steps() or 200) - 1
@@ -1112,6 +1117,13 @@ class DirectTranscriptionFanout:
         seed_traj = traj_zeros(system, 1).set_obs(0, init_obs)
         mstate0 = model.traj_to_state(seed_traj)
 
+        if reg_matrix is not None:
+            Sreg = jnp.asarray(reg_matrix)
+            mureg = (
+                jnp.asarray(reg_goal) if reg_goal is not None
+                else jnp.zeros(n)
+            )
+
         def eval_one(cost_params):
             cost = QuadCost(
                 system,
@@ -1120,6 +1132,14 @@ class DirectTranscriptionFanout:
                 jnp.diag(cost_params["Fdiag"]),
                 goal=goal,
             )
+            if reg_matrix is not None:
+                cost = cost + QuadCost(
+                    system,
+                    cost_params["regw"] * Sreg,
+                    jnp.zeros((dc, dc)),
+                    jnp.zeros((n, n)),
+                    goal=mureg,
+                )
             solve = make_sqp_solver(
                 model.pred_core, cost,
                 H=H, ds=ds, dc=dc, obsdim=n,
@@ -1175,7 +1195,13 @@ class MPPIFanout:
         mesh=None,
         seed: int = 0,
         goal=None,
+        reg_matrix=None,
+        reg_goal=None,
     ):
+        # ``reg_matrix``/``reg_goal``: GaussRegFactory term — each
+        # lane's cost becomes the SumCost ``diag-quad + regw * full``
+        # (built from traced values inside the vmap; MPPI consumes the
+        # cost generically, so no solver change is needed).
         from ..control.mppi import MPPI
 
         n_steps = n_steps or (task.get_num_steps() or 200) - 1
@@ -1195,6 +1221,13 @@ class MPPIFanout:
         seed_traj = traj_zeros(system, 1).set_obs(0, init_obs)
         mstate0 = model.traj_to_state(seed_traj)
 
+        if reg_matrix is not None:
+            Sreg = jnp.asarray(reg_matrix)
+            mureg = (
+                jnp.asarray(reg_goal) if reg_goal is not None
+                else jnp.zeros(n)
+            )
+
         def eval_one(cfg):
             cost = QuadCost(
                 system,
@@ -1203,6 +1236,14 @@ class MPPIFanout:
                 jnp.diag(cfg["Fdiag"]),
                 goal=goal,
             )
+            if reg_matrix is not None:
+                cost = cost + QuadCost(
+                    system,
+                    cfg["regw"] * Sreg,
+                    jnp.zeros((system.ctrl_dim, system.ctrl_dim)),
+                    jnp.zeros((n, n)),
+                    goal=mureg,
+                )
             task_local = task.copy()
             task_local.set_cost(cost)
             con = MPPI(

@@ -143,8 +143,8 @@ class PipelineTuner:
         the cost factory is QuadCostFactory / GaussRegFactory / their
         SumCostFactory combination (``_cost_fanout_spec``) and the
         controller factory is one of IterativeLQRFactory / MPPIFactory
-        / DirectTranscriptionControllerFactory (the latter two
-        QuadCostFactory-only), each ask() batch is bucketed by its
+        / DirectTranscriptionControllerFactory, each ask() batch is
+        bucketed by its
         shape-changing hyperparameters (horizon; num_path for MPPI) and
         every bucket is evaluated as ONE sharded program
         (parallel/fanout.py) — candidate synthesis + closed-loop
@@ -207,11 +207,11 @@ class PipelineTuner:
 
         Cost factories covered: QuadCostFactory, GaussRegFactory, and
         SumCostFactory of at most one of each (``_cost_fanout_spec``) —
-        the GaussReg term rides the batched solver's per-lane-weighted
-        shared dense quadratic (iLQR kinds only; MPPI/DT fan-outs stay
-        QuadCostFactory-only). Anything else falls back to the
-        sequential objective with a warning. All paths require an
-        obs-state surrogate.
+        the GaussReg term rides the batched iLQR solver's
+        per-lane-weighted shared dense quadratic, and the MPPI/DT
+        fan-outs build it as a per-lane SumCost. Anything else falls
+        back to the sequential objective with a warning. All paths
+        require an obs-state surrogate.
         """
         from ..control.ilqr import IterativeLQRFactory
         from ..control.mppi import MPPIFactory
@@ -238,12 +238,7 @@ class PipelineTuner:
                 "advances observation-state surrogates only"
             )
         cf = pipeline.controller_factory
-        if has_reg and not isinstance(cf, IterativeLQRFactory):
-            return None, (
-                "GaussReg cost candidates ride the batched iLQR "
-                "solver's reg term; the "
-                f"{type(cf).__name__} fan-out is QuadCostFactory-only"
-            )
+        del has_reg  # every controller fan-out covers the reg term now
         if pipeline.model is not None:
             if isinstance(cf, IterativeLQRFactory):
                 return "ilqr", ""
@@ -429,7 +424,8 @@ class PipelineTuner:
                 elif kind == "mppi":
                     fanouts[key] = MPPIFanout(
                         system, task, pipeline.model, surrogate,
-                        horizon=key[0], num_path=key[1], **common,
+                        horizon=key[0], num_path=key[1], **reg_kw,
+                        **common,
                     )
                 elif kind == "joint_sindy":
                     fanouts[key] = JointSINDyQuadCostFanout(
@@ -514,7 +510,7 @@ class PipelineTuner:
                 else:
                     fanouts[key] = DirectTranscriptionFanout(
                         system, task, pipeline.model, surrogate,
-                        horizon_knots=key, **common,
+                        horizon_knots=key, **reg_kw, **common,
                     )
             # Per-lane diagonals from the QuadCostFactory subspace (its
             # prefix is "" for a bare factory, "_sum_i:" inside a

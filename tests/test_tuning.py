@@ -610,6 +610,73 @@ class TestPipelineTunerFanout:
             else:
                 assert np.isinf(cs) == np.isinf(cf)
 
+    @pytest.mark.slow
+    @pytest.mark.parametrize("ctrl", ["mppi", "dt"])
+    def test_gauss_reg_mppi_dt_fanout_matches_sequential(
+        self, benchmark, trajs, ctrl
+    ):
+        """MPPI and DT fan-outs cover SumCostFactory(Quad + GaussReg)
+        candidates by building the per-lane SumCost inside the vmap;
+        scores must match the sequential objective and the fan-out must
+        engage (no fallback warning)."""
+        import warnings
+
+        from autompc_tpu.control import (
+            DirectTranscriptionControllerFactory,
+            MPPIFactory,
+        )
+        from autompc_tpu.costs import GaussRegFactory, SumCostFactory
+        from autompc_tpu.sysid import SINDy
+
+        model = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        model.train(trajs)
+        if ctrl == "mppi":
+            cf = MPPIFactory(benchmark.system, num_path=64)
+        else:
+            cf = DirectTranscriptionControllerFactory(
+                benchmark.system, horizon=0.25
+            )
+        pipeline = Pipeline(
+            benchmark.system,
+            model,
+            SumCostFactory(
+                benchmark.system,
+                [
+                    QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+                    GaussRegFactory(benchmark.system),
+                ],
+            ),
+            cf,
+        )
+        task = benchmark.task.copy()
+        task.set_num_steps(15)
+
+        seq = PipelineTuner(surrogate_mode="pretrain", eval_batch=2)
+        fan = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=2, use_fanout=True
+        )
+        _, res_seq = seq.run(
+            pipeline, task, trajs, n_iters=2,
+            rng=np.random.default_rng(6), surrogate=model,
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            _, res_fan = fan.run(
+                pipeline, task, trajs, n_iters=2,
+                rng=np.random.default_rng(6), surrogate=model,
+            )
+        for cs, cf_ in zip(res_seq.costs, res_fan.costs):
+            if np.isfinite(cs) and np.isfinite(cf_):
+                assert cf_ == pytest.approx(cs, rel=1e-5, abs=1e-5), (
+                    res_seq.costs, res_fan.costs,
+                )
+            else:
+                assert np.isinf(cs) == np.isinf(cf_)
+
     def test_dt_fanout_matches_sequential(self, benchmark, trajs):
         """Direct-transcription pipelines take the fan-out fast path;
         the factory's fixed horizon (seconds) buckets by knot count."""
