@@ -116,36 +116,45 @@ def stlsq_gram(G, b, threshold, n_iters=10, ridge=1e-7):
 
     Support masking zeroes the pruned rows/columns of G and puts 1 on
     their diagonal (with the right-hand side masked, pruned coords
-    solve to exactly 0); ``ridge`` (scaled by mean(diag G)) stabilizes
-    the squared conditioning of the normal equations in f32. The
-    masked system is SPD, so the solve is CHOLESKY + two triangular
-    solves — measured 15x faster than LU on TPU for the batched
-    (55, 55) shape (42.9 vs 652 ms at 512 lanes x 4 cols x 11 iters).
-    A lane whose masked Gram loses positive-definiteness despite the
-    ridge produces NaNs -> an empty support -> zero coefficients,
-    which downstream scores the candidate ``inf`` (the bad-config
-    contract, reference pipeline_tuner.py:236-239).
+    solve to exactly 0). Each masked system is Jacobi-preconditioned
+    (scaled to unit diagonal, D^-1/2 G D^-1/2): feature libraries mix
+    wildly different column scales (trig vs poly powers), and the
+    scaling tames most of the squared conditioning the normal
+    equations introduce in f32; ``ridge`` is then relative to the unit
+    diagonal. The scaled system is SPD, so the solve is CHOLESKY + two
+    triangular solves — measured 15x faster than LU on TPU for the
+    batched (55, 55) shape (42.9 vs 652 ms at 512 lanes x 4 cols x 11
+    iters). A lane whose masked Gram loses positive-definiteness
+    despite scaling + ridge produces NaNs -> an empty support -> zero
+    coefficients, which downstream scores the candidate ``inf`` (the
+    bad-config contract, reference pipeline_tuner.py:236-239).
 
     Returns (d, k) coefficients — matches ``stlsq`` up to conditioning
-    (pinned by tests/test_sindy_ilqr.py's gram-vs-svd test).
+    (pinned by tests/test_sindy_ilqr.py's gram-vs-svd tests, incl. an
+    ill-conditioned poly+trig library staged in f32).
     """
     if b.ndim == 1:
         b = b[:, None]
     d = G.shape[0]
-    scale = jnp.trace(G) / d
+    gdiag = jnp.diag(G)
 
     def solve_with_support(support):
         def solve_col(sup, b_col):
-            Gm = G * sup[None, :] * sup[:, None]
-            Gm = Gm + jnp.diag((1.0 - sup) + ridge * scale * sup)
-            L = jnp.linalg.cholesky(Gm)
+            # Jacobi scaling s = 1/sqrt(diag) on the active set; s = 0
+            # on pruned coords (their rows/cols drop, diag pinned to 1).
+            s = jnp.where(
+                sup > 0, 1.0 / jnp.sqrt(jnp.maximum(gdiag, 1e-30)), 0.0
+            )
+            Gs = (s[:, None] * G * s[None, :])
+            Gs = Gs + jnp.diag((1.0 - sup) + ridge * sup)
+            L = jnp.linalg.cholesky(Gs)
             y_ = jax.scipy.linalg.solve_triangular(
-                L, b_col * sup, lower=True
+                L, b_col * s, lower=True
             )
             sol = jax.scipy.linalg.solve_triangular(
                 L.T, y_, lower=False
             )
-            return sol * sup
+            return sol * s
 
         return jax.vmap(solve_col, in_axes=(1, 1), out_axes=1)(support, b)
 
@@ -155,21 +164,19 @@ def stlsq_gram(G, b, threshold, n_iters=10, ridge=1e-7):
     # typically stabilizes in ~3 rounds, not 10. Under vmap the
     # while_loop runs to the slowest lane, still far under n_iters.
     def cond(carry):
-        _, _, changed, it = carry
+        _, changed, it = carry
         return changed & (it < n_iters)
 
     def body(carry):
-        _, support, _, it = carry
+        support, _, it = carry
         coefs = solve_with_support(support)
         new_support = (jnp.abs(coefs) >= threshold).astype(G.dtype)
         changed = jnp.any(new_support != support)
-        return coefs * new_support, new_support, changed, it + 1
+        return new_support, changed, it + 1
 
     support0 = jnp.ones(b.shape, dtype=G.dtype)
-    coefs0 = jnp.zeros(b.shape, dtype=G.dtype)
-    _, support, _, _ = jax.lax.while_loop(
-        cond, body,
-        (coefs0, support0, jnp.array(True), jnp.array(0)),
+    support, _, _ = jax.lax.while_loop(
+        cond, body, (support0, jnp.array(True), jnp.array(0))
     )
     return solve_with_support(support)
 

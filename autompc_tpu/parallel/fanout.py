@@ -414,7 +414,8 @@ class JointSINDyQuadCostFanout:
         # tools/profile_joint_fanout.py).
         from ..ops.lstsq import gram_stage, stlsq_gram
 
-        G_mat, b_mat = gram_stage(A_mat, y_mat, mask=rmask)
+        if method != "lasso":
+            G_mat, b_mat = gram_stage(A_mat, y_mat, mask=rmask)
 
         def train_one(reg):
             if method == "lasso":
@@ -886,33 +887,23 @@ class JointMLPQuadCostFanout:
             )
             return state + (dyt * dy_std_j + dy_means_j)
 
-        from ..sysid.mlp import _NONLIN_DERIV
-
-        dact = _NONLIN_DERIV[nonlintype]
+        from ..sysid.mlp import net_apply_jac
 
         def pred_diff(params, state, ctrl):
-            # Closed-form layer-chain Jacobian of the masked net
-            # (sysid/mlp.py:net_apply_jac semantics, with the max-width
-            # masks folded into each W) — replaces jacfwd's per-input
-            # tangent pushforwards in the solver's forward/relin phases.
-            net = params["net"]
-            wmasks, bmasks = params["wmasks"], params["bmasks"]
-            xu = jnp.concatenate([state, ctrl], axis=-1)
-            x = (xu - xu_means_j) / xu_std_j
-            J = None
-            for layer, wm, bm in zip(net[:-1], wmasks[:-1], bmasks[:-1]):
-                W = layer["W"] * wm
-                a = x @ W + layer["b"] * bm
-                d = dact(a)
-                J = (
-                    d[:, None] * W.T if J is None
-                    else d[:, None] * (W.T @ J)
+            # Closed-form layer-chain Jacobian of the masked net: fold
+            # the max-width masks into the weights and reuse the shared
+            # helper (sysid/mlp.py:net_apply_jac) — one implementation
+            # of the chain rule, here and in MLP.pred_diff_core.
+            masked_net = [
+                {"W": layer["W"] * wm, "b": layer["b"] * bm}
+                for layer, wm, bm in zip(
+                    params["net"], params["wmasks"], params["bmasks"]
                 )
-                x = act(a)
-            W = net[-1]["W"] * wmasks[-1]
-            dyt = x @ W + net[-1]["b"] * bmasks[-1]
-            Jn = W.T if J is None else W.T @ J
-            Jm = (dy_std_j[:, None] * Jn) / xu_std_j[None, :]
+            ]
+            xu = jnp.concatenate([state, ctrl], axis=-1)
+            xut = (xu - xu_means_j) / xu_std_j
+            dyt, Jt = net_apply_jac(masked_net, xut, nonlintype)
+            Jm = (dy_std_j[:, None] * Jt) / xu_std_j[None, :]
             pred = state + (dyt * dy_std_j + dy_means_j)
             Jx = jnp.eye(n, dtype=Jm.dtype) + Jm[:, :n]
             return pred, Jx, Jm[:, n:]

@@ -170,7 +170,8 @@ class SINDyBucketEvaluator:
         # JointSINDyQuadCostFanout / ops/lstsq.py:stlsq_gram).
         from ..ops.lstsq import gram_stage, stlsq_gram
 
-        G_mat, b_mat = gram_stage(A, y, mask=rmask)
+        if self.method != "lasso":
+            G_mat, b_mat = gram_stage(A, y, mask=rmask)
 
         tb_h = traj_batch(holdout)
         hobs, hctrls, hlens = tb_h.obs, tb_h.ctrls, tb_h.lengths

@@ -229,7 +229,6 @@ class PipelineTuner:
                 "solver covers QuadCostFactory / GaussRegFactory / "
                 "their SumCostFactory combination only"
             )
-        has_reg = cost_spec["reg_prefix"] is not None
         if surrogate.state_dim != pipeline.system.obs_dim:
             return None, (
                 "surrogate has lifted state "
@@ -238,7 +237,6 @@ class PipelineTuner:
                 "advances observation-state surrogates only"
             )
         cf = pipeline.controller_factory
-        del has_reg  # every controller fan-out covers the reg term now
         if pipeline.model is not None:
             if isinstance(cf, IterativeLQRFactory):
                 return "ilqr", ""

@@ -434,3 +434,48 @@ def test_stlsq_gram_matches_svd_stlsq():
                                       err_msg=f"support at {thresh}")
         np.testing.assert_allclose(c_gram, c_svd, rtol=1e-5, atol=1e-8,
                                    err_msg=f"coefs at {thresh}")
+
+
+def test_stlsq_gram_f32_ill_conditioned_library():
+    """The production TPU path stages in f32, where the normal
+    equations square the conditioning; the Jacobi-scaled Cholesky
+    solves must still recover the SVD formulation's support on a much
+    worse-conditioned library (poly degree 3 + cross terms + trig —
+    mixed column scales) than the headline trig staging."""
+    import jax.numpy as jnp
+
+    from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
+    from autompc_tpu.core.trajectory import batch as traj_batch
+    from autompc_tpu.ops.lstsq import gram_stage, stlsq, stlsq_gram
+    from autompc_tpu.sysid import SINDy
+
+    b = CartpoleSwingupBenchmark()
+    trajs = b.gen_trajs_batch(seed=7, n_trajs=40, traj_len=60)
+    skeleton = SINDy(
+        b.system, method="lstsq", threshold=1e-2,
+        poly_basis=True, poly_degree=3, poly_cross_terms=True,
+        trig_basis=True, trig_freq=1,
+        time_mode="discrete",
+    )
+    tb = traj_batch(trajs.to_list())
+    feats = skeleton.library(jnp.concatenate([tb.obs, tb.ctrls], axis=-1))
+    A64 = feats.reshape(-1, skeleton.library.n_features)
+    y64 = jnp.roll(tb.obs, -1, axis=1).reshape(-1, 4)
+    rmask = tb.step_mask().reshape(-1)
+
+    # f64 SVD reference vs f32 Gram production path.
+    c_svd = np.asarray(stlsq(A64, y64, 1e-2, mask=rmask))
+    A32 = A64.astype(jnp.float32)
+    y32 = y64.astype(jnp.float32)
+    G, bv = gram_stage(A32, y32, mask=rmask.astype(jnp.float32))
+    c_gram = np.asarray(stlsq_gram(G, bv, 1e-2))
+
+    assert np.isfinite(c_gram).all()
+    np.testing.assert_array_equal(
+        c_svd != 0, c_gram != 0, err_msg="support f32-gram vs f64-svd"
+    )
+    live = c_svd != 0
+    np.testing.assert_allclose(
+        c_gram[live], c_svd[live], rtol=5e-3,
+        err_msg="live coefficients",
+    )
