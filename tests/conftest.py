@@ -41,8 +41,10 @@ jax.config.update("jax_enable_x64", True)
 
 # ---------------------------------------------------------------------
 # Test tiering: the compile-heavy tests (measured >= ~10 s each on the
-# 8-device CPU mesh; full suite ~25 min) are marked "slow" so a <60 s
-# smoke tier exists:   pytest tests/ -m "not slow"
+# 8-device CPU mesh) are marked "slow". Measured in a FRESH container
+# (cold JAX compile caches, round 3): smoke tier
+# `pytest tests/ -m "not slow"` ~8 min; full suite ~36 min. Budget CI
+# timeouts accordingly.
 # Centralized here (plus explicit @pytest.mark.slow decorators in test
 # files) so the tier list is maintained in one place.
 # ---------------------------------------------------------------------
