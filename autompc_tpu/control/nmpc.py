@@ -64,6 +64,9 @@ def make_sqp_solver(
     reg: float = 1e-7,
     backward: str = "scan",
     pred_diff=None,
+    xbounds=None,
+    xbound_mu: float = 100.0,
+    xbound_lam_every: int = 4,
 ):
     """Build ``solve(params, x0, xs_guess, us_guess) -> (xs, us)``.
 
@@ -75,9 +78,40 @@ def make_sqp_solver(
     (nmpc.py:73-83): ``dt * sum_{i=0..H} obs_cost(x_i) + dt *
     sum_{i<H} ctrl_cost(u_i) + term_cost(x_H)``; defects are
     ``f(x_i, u_i) - x_{i+1}`` (nmpc.py:102-110).
+
+    ``xbounds``: optional ``(lo, hi)`` arrays of shape (obsdim,) —
+    observation box constraints on every knot state. The reference
+    imposes these as IPOPT decision-variable bounds
+    (nmpc.py:121-130: xlb/xub from task.get_obs_bounds()); here they
+    are enforced by an **augmented Lagrangian** on the two one-sided
+    constraints per coordinate: each SQP iterate's stage expansion
+    carries the AL term's gradient/diagonal Hessian (a semi-smooth
+    Newton step on the AL subproblem), the L1 merit carries the AL
+    penalty so the line search respects feasibility progress, and the
+    multipliers update ``lam <- max(0, lam + mu g)`` every
+    ``xbound_lam_every`` iterations — NOT every step: updating the
+    dual before the primal subproblem is approximately solved makes
+    primal and dual chase each other (measured: peak violation cycled
+    0.5..1.5x the bound with per-step updates; converges exactly to
+    the bound with updates every 2-8 steps). Infinite entries
+    deactivate a side.
     """
     umin = jnp.asarray(ubounds[0])
     umax = jnp.asarray(ubounds[1])
+
+    has_xbounds = xbounds is not None
+    if has_xbounds:
+        # Replace infinities so the hinge terms are traced but never
+        # activate on unbounded coordinates.
+        xlo = jnp.where(
+            jnp.isfinite(jnp.asarray(xbounds[0])), jnp.asarray(xbounds[0]),
+            -1e9,
+        )
+        xhi = jnp.where(
+            jnp.isfinite(jnp.asarray(xbounds[1])), jnp.asarray(xbounds[1]),
+            1e9,
+        )
+        mu_x = xbound_mu
 
     def clip_u(u):
         return jnp.clip(u, umin, umax)
@@ -91,10 +125,41 @@ def make_sqp_solver(
         preds = jax.vmap(lambda x, u: pred_core(params, x, u))(xs[:H], us)
         return preds - xs[1:]
 
-    def merit(params, xs, us):
-        return objective(xs, us) + merit_mu * jnp.sum(
+    if has_xbounds:
+        # Knot 0 is pinned to the measured state; its bound violation is
+        # not a decision (mask keeps its multipliers at zero and its
+        # penalty out of the merit).
+        knot_w = jnp.ones(H + 1).at[0].set(0.0)
+
+        def al_terms(x, lam_lo_i, lam_hi_i, w):
+            """Penalty value, gradient, and diagonal Hessian of the
+            augmented-Lagrangian treatment of lo <= x[:obsdim] <= hi at
+            one knot (standard PHR form: for g <= 0 with multiplier
+            lam, P = (max(0, lam + mu g)^2 - lam^2) / (2 mu))."""
+            xo = x[:obsdim]
+            t_hi = jnp.maximum(0.0, lam_hi_i + mu_x * (xo - xhi)) * w
+            t_lo = jnp.maximum(0.0, lam_lo_i + mu_x * (xlo - xo)) * w
+            pen = (
+                jnp.sum(t_hi**2 - (lam_hi_i * w) ** 2)
+                + jnp.sum(t_lo**2 - (lam_lo_i * w) ** 2)
+            ) / (2.0 * mu_x)
+            grad = t_hi - t_lo
+            hdiag = mu_x * (
+                (t_hi > 0).astype(x.dtype) + (t_lo > 0).astype(x.dtype)
+            )
+            return pen, grad, hdiag
+
+        def al_penalty_total(xs, lam_lo, lam_hi):
+            pens, _, _ = jax.vmap(al_terms)(xs, lam_lo, lam_hi, knot_w)
+            return jnp.sum(pens)
+
+    def merit(params, xs, us, lam_lo=None, lam_hi=None):
+        m = objective(xs, us) + merit_mu * jnp.sum(
             jnp.abs(defects(params, xs, us))
         )
+        if has_xbounds:
+            m = m + al_penalty_total(xs, lam_lo, lam_hi)
+        return m
 
     def linearize(params, xs, us):
         if pred_diff is not None:
@@ -125,8 +190,12 @@ def make_sqp_solver(
 
     alphas = 0.5 ** jnp.arange(ls_max_iter)
 
-    def sqp_iteration(carry, _):
-        params, xs, us = carry
+    def sqp_iteration(carry, it):
+        if has_xbounds:
+            params, xs, us, lam_lo, lam_hi = carry
+        else:
+            params, xs, us = carry
+            lam_lo = lam_hi = None
         A_seq, B_seq = linearize(params, xs, us)
         d_seq = defects(params, xs, us)
         Cxx, Cuu, cx, cu = stage_expansions(xs, us)
@@ -137,6 +206,18 @@ def make_sqp_solver(
         _, sg, sh = cost.eval_obs_cost_hess(xs[H, :obsdim])
         Vf = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(th + sh * dt)
         vf = jnp.zeros(ds).at[:obsdim].set(tg + sg * dt)
+
+        if has_xbounds:
+            # AL gradient / diagonal Hessian of the box terms enters the
+            # QP expansions (NOT dt-scaled: the reference treats bounds
+            # as hard variable bounds, not stage costs).
+            _, g_all, h_all = jax.vmap(al_terms)(xs, lam_lo, lam_hi, knot_w)
+            Cxx = Cxx.at[:, jnp.arange(obsdim), jnp.arange(obsdim)].add(
+                h_all[:H]
+            )
+            cx = cx.at[:, :obsdim].add(g_all[:H])
+            Vf = Vf.at[jnp.arange(obsdim), jnp.arange(obsdim)].add(h_all[H])
+            vf = vf.at[:obsdim].add(g_all[H])
 
         if backward == "assoc":
             from ..ops.trajqp import qp_backward_assoc
@@ -149,13 +230,14 @@ def make_sqp_solver(
                 A_seq, B_seq, Cxx, Cuu, Cux, cx, cu, d_seq, Vf, vf, reg
             )
 
-        merit0 = merit(params, xs, us)
+        merit0 = merit(params, xs, us, lam_lo, lam_hi)
 
         def try_alpha(alpha):
             dxs, dus = qp_forward(A_seq, B_seq, d_seq, Ks, ks, alpha=alpha)
             xs_new = xs + dxs
             us_new = clip_u(us + dus)
-            return xs_new, us_new, merit(params, xs_new, us_new)
+            return xs_new, us_new, merit(params, xs_new, us_new, lam_lo,
+                                         lam_hi)
 
         xs_c, us_c, merits = jax.vmap(try_alpha)(alphas)
         improved = merits < merit0
@@ -164,14 +246,35 @@ def make_sqp_solver(
         any_imp = jnp.any(improved)
         xs_next = jnp.where(any_imp, xs_c[idx], xs)
         us_next = jnp.where(any_imp, us_c[idx], us)
+        if has_xbounds:
+            # First-order multiplier update on the accepted iterate —
+            # only every xbound_lam_every-th iteration, once the inner
+            # semi-smooth Newton steps have approximately solved the
+            # current AL subproblem (see docstring).
+            do_update = (it % xbound_lam_every) == (xbound_lam_every - 1)
+            xo = xs_next[:, :obsdim]
+            lam_hi_new = jnp.maximum(
+                0.0, lam_hi + mu_x * (xo - xhi)
+            ) * knot_w[:, None]
+            lam_lo_new = jnp.maximum(
+                0.0, lam_lo + mu_x * (xlo - xo)
+            ) * knot_w[:, None]
+            lam_hi = jnp.where(do_update, lam_hi_new, lam_hi)
+            lam_lo = jnp.where(do_update, lam_lo_new, lam_lo)
+            return (params, xs_next, us_next, lam_lo, lam_hi), merits[idx]
         return (params, xs_next, us_next), merits[idx]
 
     def solve(params, x0, xs_guess, us_guess):
         xs = xs_guess.at[0].set(x0)
-        (params, xs, us), _ = jax.lax.scan(
-            sqp_iteration, (params, xs, us_guess), None, length=sqp_iters
+        if has_xbounds:
+            lam0 = jnp.zeros((H + 1, obsdim))
+            carry = (params, xs, us_guess, lam0, lam0)
+        else:
+            carry = (params, xs, us_guess)
+        out, _ = jax.lax.scan(
+            sqp_iteration, carry, jnp.arange(sqp_iters)
         )
-        return xs, us
+        return out[1], out[2]
 
     return solve
 
@@ -185,6 +288,14 @@ class DirectTranscriptionController(Controller):
         bounds = task.get_ctrl_bounds()
         finite_lo = np.where(np.isfinite(bounds[:, 0]), bounds[:, 0], -1e9)
         finite_hi = np.where(np.isfinite(bounds[:, 1]), bounds[:, 1], 1e9)
+        # Observation box constraints become knot-state bounds, as the
+        # reference's IPOPT variable bounds (nmpc.py:121-130: xlb/xub
+        # from task.get_obs_bounds()); enforced here by the SQP's
+        # augmented-Lagrangian box treatment.
+        xbounds = None
+        if task.are_obs_bounded():
+            ob = task.get_obs_bounds()
+            xbounds = (ob[:, 0], ob[:, 1])
         self._model_params = model.params
         self._solve = make_sqp_solver(
             model.pred_core,
@@ -196,6 +307,7 @@ class DirectTranscriptionController(Controller):
             dt=system.dt,
             ubounds=(finite_lo, finite_hi),
             pred_diff=getattr(model, "pred_diff_core", None),
+            xbounds=xbounds,
         )
 
     @property
