@@ -246,8 +246,31 @@ class ApproximateGPModel(Model):
     # -- prediction -------------------------------------------------------
     @property
     def params(self):
+        # Cached mean-prediction weights: mean(x) = mean_const +
+        # k(x, Z) @ w with w = Lz^{-T} v — the predictive mean of the
+        # whitened SVGP (_task_predict) with the input-independent
+        # triangular solves hoisted out. pred_core then costs one
+        # (M, d) kernel row per task instead of an (M, M) Cholesky per
+        # call — the difference between a GP surrogate being usable
+        # inside vmapped closed-loop rollouts/iLQR and not.
+        gp = self._params
+
+        def task_w(tp):
+            Z = tp["Z"]
+            M = Z.shape[0]
+            Kzz = _rbf(
+                Z, Z, jnp.exp(tp["log_lengthscale"]),
+                jnp.exp(tp["log_outputscale"]),
+            ) + _JITTER * jnp.eye(M)
+            Lz = jnp.linalg.cholesky(Kzz)
+            return jax.scipy.linalg.solve_triangular(
+                Lz, tp["m"], lower=True, trans=1
+            )
+
+        w = jax.vmap(task_w)(gp)
         return {
             "gp": self._params,
+            "w": w,
             "xu_means": self.xu_means,
             "xu_std": self.xu_std,
             "dy_means": self.dy_means,
@@ -272,7 +295,25 @@ class ApproximateGPModel(Model):
         return means, variances
 
     def pred_core(self, params, state, ctrl):
-        mean_t, _ = self._predictive(params, state, ctrl)
+        if "w" in params:
+            # Cached-weights mean path (see ``params``): one kernel row
+            # per task, no per-call factorization. Identical to the
+            # _predictive mean by construction (pinned in test_gp.py).
+            xu = jnp.concatenate([state, ctrl])
+            xut = (xu - params["xu_means"]) / params["xu_std"]
+            gp = params["gp"]
+
+            def one_mean(tp, w_t):
+                k = _rbf(
+                    xut[None, :], tp["Z"],
+                    jnp.exp(tp["log_lengthscale"]),
+                    jnp.exp(tp["log_outputscale"]),
+                )[0]
+                return tp["mean_const"] + k @ w_t
+
+            mean_t = jax.vmap(one_mean)(gp, params["w"])
+        else:
+            mean_t, _ = self._predictive(params, state, ctrl)
         dy = mean_t * params["dy_std"] + params["dy_means"]
         return state + dy
 

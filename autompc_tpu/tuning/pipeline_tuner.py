@@ -280,9 +280,24 @@ class PipelineTuner:
                 "joint Koopman fan-out supports IterativeLQRFactory; "
                 f"got {type(cf).__name__}"
             )
+        from ..sysid.gp import ApproximateGPModelFactory
+
+        if isinstance(pipeline.model_factory, ApproximateGPModelFactory):
+            # Like ARX: the GP's only hyperparameter (induce_count) is
+            # shape-changing, so each bucket trains ONE shared SVGP —
+            # exactly what the reference's per-candidate training would
+            # produce (same data, same seed) — and rides the
+            # fixed-model QuadCostFanout with the cached-mean-weights
+            # predictor (sysid/gp.py:params "w").
+            if isinstance(cf, IterativeLQRFactory):
+                return "joint_gp", ""
+            return None, (
+                "joint GP fan-out supports IterativeLQRFactory; got "
+                f"{type(cf).__name__}"
+            )
         return None, (
-            "joint fan-out covers SINDy/ARX/MLP/Koopman model "
-            f"factories; got {type(pipeline.model_factory).__name__}"
+            "joint fan-out covers SINDy/ARX/MLP/Koopman/ApproximateGP "
+            f"model factories; got {type(pipeline.model_factory).__name__}"
         )
 
     def _eval_batch_fanout(self, pipeline, task, surrogate, cfgs, fanouts,
@@ -395,6 +410,8 @@ class PipelineTuner:
                 )
             elif kind == "joint_arx":
                 key = (int(mk(cfg, "history", 4)), int(horizon))
+            elif kind == "joint_gp":
+                key = (int(mk(cfg, "induce_count", 100)), int(horizon))
             else:
                 key = int(horizon)
             buckets.setdefault(key, []).append(idx)
@@ -498,6 +515,32 @@ class PipelineTuner:
                     arx.train(sysid_trajs)
                     fanouts[key] = QuadCostFanout(
                         system, task, arx, surrogate,
+                        horizon=key[1],
+                        compact_schedule=self.fanout_compact,
+                        warm_start=self.fanout_warm_start,
+                        backward=self.fanout_backward,
+                        **reg_kw,
+                        **common,
+                    )
+                elif kind == "joint_gp":
+                    # One shared SVGP per induce_count bucket (the only
+                    # GP hyperparameter IS the bucket key; same data +
+                    # same seed means the reference's per-candidate
+                    # training would produce this exact model), then
+                    # the fixed-model fan-out with the cached-mean-
+                    # weights predictor (sysid/gp.py ``params["w"]``).
+                    from ..sysid.gp import ApproximateGPModel
+
+                    gp = ApproximateGPModel(
+                        system, induce_count=key[0],
+                        niter=int(m_over.get("niter", 5)),
+                        lr=float(m_over.get("lr", 0.1)),
+                        batch_size=int(m_over.get("batch_size", 1024)),
+                        seed=int(m_over.get("seed", 100)),
+                    )
+                    gp.train(sysid_trajs)
+                    fanouts[key] = QuadCostFanout(
+                        system, task, gp, surrogate,
                         horizon=key[1],
                         compact_schedule=self.fanout_compact,
                         warm_start=self.fanout_warm_start,

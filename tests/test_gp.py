@@ -95,3 +95,18 @@ class TestApproximateGP:
         assert cfg["induce_count"] == 100
         model = factory(cfg, None, skip_train_model=True)
         assert model.induce_count == 100
+
+    def test_cached_mean_weights_match_predictive(self, trained_gp):
+        """params["w"] fast path (one kernel row per task) equals the
+        full whitened predictive mean (sysid/gp.py:_task_predict)."""
+        import jax.numpy as jnp
+
+        params = trained_gp.params
+        slow = {k: v for k, v in params.items() if k != "w"}
+        state = jnp.asarray(np.array([0.3, -0.2, 0.1, 0.4]))
+        ctrl = jnp.asarray(np.array([0.5]))
+        fast = trained_gp.pred_core(params, state, ctrl)
+        full = trained_gp.pred_core(slow, state, ctrl)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(full), rtol=1e-9, atol=1e-10
+        )
