@@ -30,6 +30,33 @@ from ..utils.simulation import rollout_scan
 from .mesh import make_mesh, pad_to_multiple, shard_vmap
 
 
+def _validate_regw(batch, has_reg, cls_name):
+    """Call-boundary validation of the GaussReg per-lane weight: a
+    fan-out constructed with ``reg_matrix`` needs a ``regw`` lane array
+    in every eval batch. Without this check a missing/ragged key
+    surfaces as a raw KeyError (or shape error) from deep inside jit
+    tracing (ADVICE r2 item 3)."""
+    if not has_reg:
+        return
+    if "regw" not in batch:
+        raise ValueError(
+            f"{cls_name} was constructed with reg_matrix (GaussReg "
+            "term); each eval batch must carry a 'regw' array of "
+            "per-lane regularization weights, shape (B,)"
+        )
+    regw = batch["regw"]
+    ref = next(
+        (v for k, v in batch.items() if k != "regw" and hasattr(v, "shape")),
+        None,
+    )
+    if ref is not None and hasattr(regw, "shape"):
+        if len(regw.shape) != 1 or regw.shape[0] != ref.shape[0]:
+            raise ValueError(
+                f"{cls_name}: 'regw' must have shape (B,) = "
+                f"({ref.shape[0]},); got {tuple(regw.shape)}"
+            )
+
+
 class QuadCostFanout:
     """Evaluate a batch of diagonal quadratic-cost candidates (the
     QuadCostFactory search space, costs/quad_cost_factory.py) for a fixed
@@ -84,6 +111,7 @@ class QuadCostFanout:
             raise ValueError("reg_matrix requires impl='batched'")
         self.system = system
         self.task = task
+        self._has_reg = reg_matrix is not None
         n_steps = n_steps or (task.get_num_steps() or 200) - 1
         goal = jnp.asarray(
             goal
@@ -304,6 +332,10 @@ class QuadCostFanout:
         self._eval = shard_vmap(eval_one, mesh=mesh)
 
     def __call__(self, params_batch):
+        _validate_regw(
+            params_batch, getattr(self, "_has_reg", False),
+            type(self).__name__,
+        )
         return self._eval(params_batch)
 
 
@@ -370,6 +402,7 @@ class JointSINDyQuadCostFanout:
         from ..sysid.sindy import SINDy
 
         self.system = system
+        self._has_reg = reg_matrix is not None
         n_steps = n_steps or (task.get_num_steps() or 200) - 1
         goal = jnp.asarray(
             goal
@@ -545,6 +578,10 @@ class JointSINDyQuadCostFanout:
         self._eval = eval_padded
 
     def __call__(self, params_batch):
+        _validate_regw(
+            params_batch, getattr(self, "_has_reg", False),
+            type(self).__name__,
+        )
         return self._eval(params_batch)
 
 
@@ -588,6 +625,7 @@ class JointKoopmanLassoQuadCostFanout:
         from ..ops.lstsq import fista_lasso
         from ..sysid.koopman import Koopman
 
+        self._has_reg = reg_matrix is not None
         n_steps = n_steps or (task.get_num_steps() or 200) - 1
         goal = jnp.asarray(
             goal
@@ -730,6 +768,10 @@ class JointKoopmanLassoQuadCostFanout:
         self._eval = eval_padded
 
     def __call__(self, params_batch):
+        _validate_regw(
+            params_batch, getattr(self, "_has_reg", False),
+            type(self).__name__,
+        )
         return self._eval(params_batch)
 
 
@@ -785,6 +827,7 @@ class JointMLPQuadCostFanout:
 
         self.system = system
         self._max_width = int(max_width)
+        self._has_reg = reg_matrix is not None
         n_steps = n_steps or (task.get_num_steps() or 200) - 1
         goal = jnp.asarray(
             goal
@@ -1013,6 +1056,9 @@ class JointMLPQuadCostFanout:
         self._pad_quantum = n_dev * max(1, -(-8 // n_dev))
 
     def __call__(self, batch):
+        _validate_regw(
+            batch, getattr(self, "_has_reg", False), type(self).__name__
+        )
         from ..tuning.bucketed import _mlp_masks, _mlp_padded_init
 
         widths_list = [list(w) for w in batch["widths"]]
@@ -1084,6 +1130,7 @@ class DirectTranscriptionFanout:
         # MPPIFanout).
         from ..control.nmpc import make_sqp_solver
 
+        self._has_reg = reg_matrix is not None
         n_steps = n_steps or (task.get_num_steps() or 200) - 1
         goal = jnp.asarray(
             goal
@@ -1166,6 +1213,10 @@ class DirectTranscriptionFanout:
         self._eval = shard_vmap(eval_one, mesh=mesh)
 
     def __call__(self, params_batch):
+        _validate_regw(
+            params_batch, getattr(self, "_has_reg", False),
+            type(self).__name__,
+        )
         return self._eval(params_batch)
 
 
@@ -1195,6 +1246,7 @@ class MPPIFanout:
         # cost generically, so no solver change is needed).
         from ..control.mppi import MPPI
 
+        self._has_reg = reg_matrix is not None
         n_steps = n_steps or (task.get_num_steps() or 200) - 1
         init_obs = jnp.asarray(task.get_init_obs())
         task_cost = task.get_cost()
@@ -1272,4 +1324,8 @@ class MPPIFanout:
         self._eval = shard_vmap(eval_one, mesh=mesh)
 
     def __call__(self, params_batch):
+        _validate_regw(
+            params_batch, getattr(self, "_has_reg", False),
+            type(self).__name__,
+        )
         return self._eval(params_batch)

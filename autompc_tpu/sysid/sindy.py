@@ -191,10 +191,24 @@ class SINDy(Model):
             # tuning fan-out vmaps per candidate lane
             # (parallel/fanout.py:JointSINDyQuadCostFanout), keeping the
             # fan-out/sequential parity exact.
-            from ..ops.lstsq import gram_stage, stlsq_gram
+            from ..ops.lstsq import gram_stage, stlsq, stlsq_gram
 
             G, bvec = gram_stage(A, y, mask=rmask)
             coefs = stlsq_gram(G, bvec, self.threshold)
+            # The Gram pair squares the conditioning; a masked Gram that
+            # loses positive-definiteness (likelier in f32) makes the
+            # Cholesky emit NaN, which would silently store an all-zero
+            # model. The tuner's fan-out scores such lanes inf, but this
+            # standalone trainer falls back to the SVD-based STLSQ (a
+            # min-norm solution) instead — ADVICE r2 item 1.
+            if not bool(jnp.all(jnp.isfinite(coefs))):
+                if not silent:
+                    print(
+                        "SINDy: Gram-staged STLSQ produced non-finite "
+                        "coefficients (ill-conditioned normal equations); "
+                        "falling back to the SVD least-squares path"
+                    )
+                coefs = stlsq(A, y, self.threshold, mask=rmask)
         self.coeffs = coefs.T  # (n, F)
 
     # -- prediction ----------------------------------------------------

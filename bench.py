@@ -21,13 +21,34 @@ import numpy as np
 
 
 def main():
+    import logging
+
     import jax
 
     # Persistent compilation cache: the fused solver (incl. the two
     # Pallas kernels) takes ~10 min to compile cold on the remote-compile
-    # path; cached runs start in seconds.
+    # path; cached runs start in seconds. Verified round 3: the cache
+    # DOES hit across fresh processes on the axon remote-compile path
+    # (probe: 1.34s cold -> 0.08s warm), and the container persists
+    # across the builder->driver boundary — so tools/prewarm_bench.py
+    # (run as a committed post-build step) makes the driver's run warm.
+    # Surface hit/miss in stderr so a cold driver run is diagnosable
+    # (hits log at WARNING under jax_log_compiles; misses under
+    # jax_explain_cache_misses — jax._src.compiler:99-112).
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Hit/miss lines log at DEBUG (jax._src.compiler:99-112); surface
+    # ONLY the persistent-cache lines, not the per-op dispatch firehose
+    # that jax_log_compiles would emit. Do NOT use
+    # jax_explain_cache_misses for this: in jax 0.9.0 its tracing-miss
+    # explanation machinery crashes with "not enough values to unpack"
+    # while tracing the scheduled solver's while_loop (reproduced on
+    # CPU; the flag alone flips success/failure).
+    _clog = logging.getLogger("jax._src.compiler")
+    _clog.setLevel(logging.DEBUG)
+    _h = logging.StreamHandler(sys.stderr)
+    _h.addFilter(lambda r: "cache" in r.getMessage().lower())
+    _clog.addHandler(_h)
     import jax.numpy as jnp
 
     from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
@@ -155,9 +176,9 @@ def main():
     t0 = time.perf_counter()
     out = batch_solve(params, x0s, uguess)
     jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
     print(
-        f"[bench] compile+first run: {time.perf_counter() - t0:.1f}s "
-        f"(B={B})",
+        f"[bench] compile+first run: {compile_s:.1f}s (B={B})",
         file=sys.stderr,
     )
 
@@ -200,6 +221,12 @@ def main():
         "open_loop_median_final_theta_rad": round(
             float(np.median(final_theta)), 4
         ),
+        # Compile-time observability (VERDICT r2 item 2c): a compile
+        # regression or a cold persistent cache is visible in the
+        # recorded JSON, not just in stderr.
+        "compile_first_run_s": round(compile_s, 1),
+        "bench_tier": os.environ.get("BENCH_TIER", "direct"),
+        "bench_ls": os.environ.get("BENCH_LS", "fused"),
     }
     if os.environ.get("BENCH_QUALITY", "on") != "off":
         from autompc_tpu.control.receding import make_receding_ilqr_loop
@@ -291,36 +318,60 @@ def main():
 
 def _watchdog():
     """The remote-compile service's latency for the dual-Pallas solver
-    varies from ~2 to ~17 minutes. Try the full-speed configuration
-    under a deadline; on timeout fall back to the Pallas-backward-only
-    configuration (reliably ~2 min compile, ~2800 solves/s) so the
-    driver always records a result. Exactly one JSON line is printed
-    either way."""
+    varies from ~2 to ~17 minutes (warm persistent cache: seconds).
+    Round 2 fell from the fused configuration (~41k solves/s) all the
+    way to backward-only (~5.7k) in ONE step when the 900s deadline
+    tripped. Round 3: a staged ladder with per-tier deadlines —
+
+      1. fused      (dual-Pallas LS+backward, default): full speed
+      2. pallas     (Pallas rollout kernel + XLA objective, ~33k
+                     solves/s per PERF.md, materially cheaper compile)
+      3. off        (backward-kernel-only, ~2-3 min compile, in-process
+                     so a result ALWAYS prints)
+
+    Exactly one JSON line is printed either way. The committed
+    tools/prewarm_bench.py post-build step populates the persistent
+    cache with tier 1's exact program, so in the expected path tier 1
+    starts warm and finishes in ~1-2 min total."""
     import subprocess
 
-    deadline = float(os.environ.get("BENCH_DEADLINE", "900"))
-    env = dict(os.environ)
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner"],
-            timeout=deadline, capture_output=True, text=True, env=env,
-        )
-        sys.stderr.write(r.stderr)
-        lines = [
-            ln for ln in r.stdout.splitlines() if ln.startswith("{")
-        ]
-        if r.returncode == 0 and lines:
-            print(lines[-1])
-            return
-        sys.stderr.write(
-            f"[bench] inner run failed (rc={r.returncode}); falling back\n"
-        )
-    except subprocess.TimeoutExpired:
-        sys.stderr.write(
-            f"[bench] deadline {deadline}s exceeded; "
-            "falling back to backward-only kernels\n"
-        )
+    tiers = [
+        ("fused", {}, float(os.environ.get("BENCH_DEADLINE", "900"))),
+        (
+            "pallas",
+            {"BENCH_LS": "pallas"},
+            float(os.environ.get("BENCH_DEADLINE_T2", "480")),
+        ),
+    ]
+    for name, overrides, deadline in tiers:
+        env = dict(os.environ)
+        env.update(overrides)
+        env["BENCH_TIER"] = name
+        try:
+            t0 = time.perf_counter()
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                timeout=deadline, capture_output=True, text=True, env=env,
+            )
+            sys.stderr.write(r.stderr)
+            lines = [
+                ln for ln in r.stdout.splitlines() if ln.startswith("{")
+            ]
+            if r.returncode == 0 and lines:
+                print(lines[-1])
+                return
+            sys.stderr.write(
+                f"[bench] tier '{name}' failed (rc={r.returncode}, "
+                f"{time.perf_counter() - t0:.0f}s); trying next tier\n"
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"[bench] tier '{name}' deadline {deadline:.0f}s "
+                "exceeded; trying next tier\n"
+            )
+    sys.stderr.write("[bench] final tier: backward-only kernels\n")
     os.environ["BENCH_LS"] = "off"
+    os.environ["BENCH_TIER"] = "off"
     main()
 
 

@@ -71,12 +71,27 @@ def main():
     # in one device program (parallel/fanout.py:
     # JointSINDyQuadCostFanout). Default mode keeps the fixed-model
     # cost/controller fan-out.
+    # SCALE_MODE=gp measures GP-candidate tuning throughput (VERDICT r2
+    # item 5): one shared SVGP per induce_count bucket (exactly the
+    # tuner's joint_gp fan-out, tuning/pipeline_tuner.py) with the
+    # cached-mean-weights predictor inside the batched iLQR closed
+    # loop. The sequential GP objective measured ~0.088 evals/s; the
+    # fan-out target is >10 evals/s.
     mode = os.environ.get("SCALE_MODE", "fixed")
     sindy_cfg = dict(
         method="lstsq", trig_basis=True, trig_freq=1,
         trig_interaction=True, time_mode="discrete",
     )
     trajs_list = trajs.to_list()
+    if mode == "gp":
+        from autompc_tpu.sysid.gp import ApproximateGPModel
+
+        gp_model = ApproximateGPModel(
+            benchmark.system,
+            induce_count=int(os.environ.get("SCALE_GP_M", "100")),
+        )
+        gp_model.train(trajs_list)
+        per_device = int(os.environ.get("SCALE_PER_DEVICE", "256"))
 
     rng = np.random.default_rng(0)
     results = []
@@ -101,6 +116,16 @@ def main():
                     ls == "pallas"
                     and os.environ.get("SCALE_FUSE", "1") != "0"
                 ),
+                warm_start=bool(os.environ.get("SCALE_WARM")),
+            )
+        elif mode == "gp":
+            fanout = QuadCostFanout(
+                benchmark.system, benchmark.task, gp_model, model,
+                horizon=horizon, n_steps=n_steps, mesh=mesh,
+                goal=np.zeros(4),
+                impl=os.environ.get("SCALE_IMPL", "batched"),
+                compact_schedule=compact,
+                backward=backward,
                 warm_start=bool(os.environ.get("SCALE_WARM")),
             )
         else:
@@ -139,6 +164,7 @@ def main():
                 {
                     "metric": (
                         "joint_automl_evals_per_s" if mode == "joint"
+                        else "gp_candidate_evals_per_s" if mode == "gp"
                         else "surrogate_closed_loop_evals_per_s"
                     ),
                     "n_devices": n_dev,

@@ -183,3 +183,69 @@ class TestCachedTuneAsset:
         # metric (<=200 saturation; incumbent well below).
         assert min(result["inc_costs"]) < 100.0
         assert "_ctrlr:horizon" in result["inc_cfg"]
+
+
+def test_fanout_regw_missing_raises_at_call_boundary():
+    """ADVICE r2 item 3: a fan-out built with reg_matrix must reject a
+    batch missing 'regw' with a labeled ValueError at the call
+    boundary, not a raw KeyError from inside jit tracing."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
+    from autompc_tpu.parallel.fanout import QuadCostFanout
+    from autompc_tpu.sysid import SINDy
+
+    b = CartpoleSwingupBenchmark()
+    trajs = b.gen_trajs_batch(seed=0, n_trajs=5, traj_len=20)
+    model = SINDy(
+        b.system, method="lstsq", threshold=1e-3, trig_basis=True,
+        trig_freq=1, trig_interaction=True, time_mode="discrete",
+    )
+    model.train(trajs)
+    fan = QuadCostFanout(
+        b.system, b.task, model, model, horizon=4, n_steps=3,
+        goal=np.zeros(4), reg_matrix=np.eye(4),
+    )
+    batch = {
+        "Qdiag": jnp.ones((2, 4)),
+        "Fdiag": jnp.ones((2, 4)),
+        "Rdiag": jnp.ones((2, 1)),
+    }
+    with pytest.raises(ValueError, match="regw"):
+        fan(batch)
+    with pytest.raises(ValueError, match="regw"):
+        fan(dict(batch, regw=jnp.ones((3,))))
+    # Correct batch runs.
+    out = fan(dict(batch, regw=jnp.ones(2)))
+    assert out.shape == (2,)
+
+
+def test_sindy_gram_nan_falls_back_to_svd(monkeypatch, capsys):
+    """ADVICE r2 item 1: a non-finite Gram-staged STLSQ result in the
+    standalone SINDy trainer falls back to the SVD path instead of
+    silently storing an all-zero model."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
+    from autompc_tpu import sysid
+    from autompc_tpu.ops import lstsq as lstsq_mod
+    from autompc_tpu.sysid import SINDy
+
+    b = CartpoleSwingupBenchmark()
+    trajs = b.gen_trajs_batch(seed=1, n_trajs=5, traj_len=20)
+
+    def bad_gram(G, bvec, threshold, **kw):
+        return jnp.full((G.shape[0], bvec.shape[1]), jnp.nan)
+
+    monkeypatch.setattr(lstsq_mod, "stlsq_gram", bad_gram)
+    model = SINDy(
+        b.system, method="lstsq", threshold=1e-3, trig_basis=True,
+        trig_freq=1, trig_interaction=True, time_mode="discrete",
+    )
+    model.train(trajs)
+    assert np.all(np.isfinite(np.asarray(model.coeffs)))
+    assert np.any(np.asarray(model.coeffs) != 0)
+    assert "falling back" in capsys.readouterr().out
