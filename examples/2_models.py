@@ -17,10 +17,14 @@ from autompc_tpu.sysid import ARX, MLP, SINDy
 
 
 def main():
+    # Generate excitation data from the ground-truth cartpole.
     benchmark = CartpoleSwingupBenchmark()
     train = benchmark.gen_trajs_batch(seed=0, n_trajs=80, traj_len=100)
     holdout = benchmark.gen_trajs(seed=1, n_trajs=5, traj_len=100)
 
+    # Three model families with the same Model contract: linear
+    # autoregressive (ARX), sparse nonlinear regression (SINDy), and a
+    # neural network (MLP) -- reference sysid/ equivalents.
     models = {
         "ARX(k=4)": ARX(benchmark.system, history=4),
         "SINDy(trig)": SINDy(
@@ -32,6 +36,8 @@ def main():
             n_train_iters=40,
         ),
     }
+    # Train each and score k-step open-loop prediction accuracy on
+    # held-out trajectories (reference evaluation/model_metrics.py).
     for name, model in models.items():
         model.train(train)
         for k in (1, 5, 20):

@@ -19,6 +19,7 @@ from autompc_tpu.utils import simulate
 
 
 def main():
+    # Train a SINDy dynamics model on excitation data.
     benchmark = CartpoleSwingupBenchmark()
     trajs = benchmark.gen_trajs_batch(seed=42, n_trajs=100, traj_len=100)
 
@@ -28,6 +29,8 @@ def main():
     )
     model.train(trajs)
 
+    # Give the task a quadratic control cost (the benchmark's own
+    # threshold cost stays as the evaluation metric).
     task = benchmark.task.copy()
     task.set_cost(
         QuadCost(
@@ -37,6 +40,8 @@ def main():
         )
     )
 
+    # Swing up with two optimizers over the SAME learned model, then
+    # score the closed-loop trajectory on the TRUE dynamics.
     for name, controller in [
         ("iLQR", IterativeLQR(benchmark.system, task, model, horizon=20)),
         ("MPPI", MPPI(benchmark.system, task, model,

@@ -23,15 +23,21 @@ from autompc_tpu.utils import simulate
 
 
 def main():
+    # Data for both the surrogate and the per-candidate sysid models.
     benchmark = CartpoleSwingupBenchmark()
     trajs = benchmark.gen_trajs(seed=42, n_trajs=60, traj_len=100)
 
+    # The pipeline = {model factory, cost factory, controller factory};
+    # its joint configuration space is what the tuner searches
+    # (reference pipeline.py / tuning/pipeline_tuner.py).
     pipeline = Pipeline(
         benchmark.system,
         SINDyFactory(benchmark.system),
         QuadCostFactory(benchmark.system),
         IterativeLQRFactory(benchmark.system),
     )
+    # Batched Bayesian optimization: candidates are proposed in
+    # batches and evaluated closed-loop against the surrogate model.
     tuner = PipelineTuner(
         surrogate_mode="defaultcfg",
         surrogate_factory=SINDyFactory(benchmark.system),
