@@ -64,6 +64,9 @@ def make_horizon_sharded_sqp_solver(
     ls_max_iter: int = 8,
     merit_mu: float = 100.0,
     reg: float = 1e-7,
+    xbounds=None,
+    xbound_mu: float = 100.0,
+    xbound_lam_every: int = 4,
 ):
     """Build ``solve(params, x0, xs_guess, us_guess) -> (xs, us)`` with
     the knot axis split into shooting intervals over ``mesh[axis]``.
@@ -81,6 +84,27 @@ def make_horizon_sharded_sqp_solver(
         )
     umin = jnp.asarray(ubounds[0])
     umax = jnp.asarray(ubounds[1])
+
+    # Observation box constraints, enforced with the SAME augmented-
+    # Lagrangian treatment as the single-device SQP
+    # (control/nmpc.py:make_sqp_solver ``xbounds``; reference IPOPT
+    # variable bounds, nmpc.py:121-130). Sharding layout: multipliers
+    # for this chunk's knots align with the LOCAL xk positions (global
+    # knot 0 masked on shard 0 — it is pinned to the measured state),
+    # and one replicated multiplier pair covers the terminal x_H (its
+    # AL term enters Vf/vf, which every shard already computes
+    # identically from the all-gathered terminal state).
+    has_xbounds = xbounds is not None
+    if has_xbounds:
+        xlo = jnp.where(
+            jnp.isfinite(jnp.asarray(xbounds[0])), jnp.asarray(xbounds[0]),
+            -1e9,
+        )
+        xhi = jnp.where(
+            jnp.isfinite(jnp.asarray(xbounds[1])), jnp.asarray(xbounds[1]),
+            1e9,
+        )
+        mu_x = xbound_mu
 
     fwd_perm = [(i, i + 1) for i in range(n_shards - 1)]
 
@@ -129,11 +153,50 @@ def make_horizon_sharded_sqp_solver(
             preds = jax.vmap(lambda x, u: pred_core(params, x, u))(xk, us)
             return preds - xs_tail
 
-        def merit(xk, xs_tail, us):
+        if has_xbounds:
+            Hc = xs_tail.shape[0]
+            # Local knot weights: global knot 0 (shard 0's first local
+            # knot) is pinned, so its multipliers stay zero.
+            knot_w = jnp.ones(Hc).at[0].set(
+                jnp.where(s == 0, 0.0, 1.0)
+            )
+
+            def al_terms(xo, lam_lo_i, lam_hi_i, w):
+                t_hi = jnp.maximum(0.0, lam_hi_i + mu_x * (xo - xhi)) * w
+                t_lo = jnp.maximum(0.0, lam_lo_i + mu_x * (xlo - xo)) * w
+                pen = (
+                    jnp.sum(t_hi**2 - (lam_hi_i * w) ** 2)
+                    + jnp.sum(t_lo**2 - (lam_lo_i * w) ** 2)
+                ) / (2.0 * mu_x)
+                grad = t_hi - t_lo
+                hdiag = mu_x * (
+                    (t_hi > 0).astype(xo.dtype)
+                    + (t_lo > 0).astype(xo.dtype)
+                )
+                return pen, grad, hdiag
+
+            def al_local(xk, lam):
+                lam_lo, lam_hi = lam
+                return jax.vmap(al_terms)(
+                    xk[:, :obsdim], lam_lo, lam_hi, knot_w
+                )
+
+        def merit(xk, xs_tail, us, lam=None, lam_T=None):
             d = defects(xk, xs_tail, us)
-            return objective(xk, xs_tail, us) + merit_mu * jax.lax.psum(
+            m = objective(xk, xs_tail, us) + merit_mu * jax.lax.psum(
                 jnp.sum(jnp.abs(d)), axis
             )
+            if has_xbounds:
+                pens, _, _ = al_local(xk, lam)
+                pen_T, _, _ = al_terms(
+                    x_terminal(xs_tail)[:obsdim], lam_T[0], lam_T[1],
+                    jnp.ones(()),
+                )
+                # Local penalties reduce over shards; the terminal
+                # penalty is computed identically on every shard (from
+                # the all-gathered x_H), so it adds OUTSIDE the psum.
+                m = m + jax.lax.psum(jnp.sum(pens), axis) + pen_T
+            return m
 
         def suffix_of_later_chunks(chunk_elem):
             """Compose the per-chunk elements of every shard AFTER this
@@ -219,8 +282,12 @@ def make_horizon_sharded_sqp_solver(
 
         alphas = 0.5 ** jnp.arange(ls_max_iter)
 
-        def sqp_iteration(carry, _):
-            xs_tail, us = carry
+        def sqp_iteration(carry, it):
+            if has_xbounds:
+                xs_tail, us, lam, lam_T = carry
+            else:
+                xs_tail, us = carry
+                lam = lam_T = None
             xk = knot_states(xs_tail)
 
             def lin_one(x, u):
@@ -237,9 +304,20 @@ def make_horizon_sharded_sqp_solver(
             Vf = jnp.zeros((ds, ds)).at[:obsdim, :obsdim].set(th + sh * dt)
             vf = jnp.zeros(ds).at[:obsdim].set(tg + sg * dt)
 
+            if has_xbounds:
+                _, g_loc, h_loc = al_local(xk, lam)
+                oi = jnp.arange(obsdim)
+                Cxx = Cxx.at[:, oi, oi].add(h_loc)
+                cx = cx.at[:, :obsdim].add(g_loc)
+                _, g_T, h_T = al_terms(
+                    xH[:obsdim], lam_T[0], lam_T[1], jnp.ones(())
+                )
+                Vf = Vf.at[oi, oi].add(h_T)
+                vf = vf.at[:obsdim].add(g_T)
+
             Ks, ks = backward(A_seq, B_seq, Cxx, Cuu, cx, cu, d_seq, Vf, vf)
 
-            merit0 = merit(xk, xs_tail, us)
+            merit0 = merit(xk, xs_tail, us, lam, lam_T)
 
             Acl = A_seq + jnp.einsum("tij,tjk->tik", B_seq, Ks)
 
@@ -253,7 +331,7 @@ def make_horizon_sharded_sqp_solver(
                 us_new = clip_u(us + dus)
                 return (
                     xs_new, us_new,
-                    merit(knot_states(xs_new), xs_new, us_new),
+                    merit(knot_states(xs_new), xs_new, us_new, lam, lam_T),
                 )
 
             xs_c, us_c, merits = jax.vmap(try_alpha)(alphas)
@@ -262,12 +340,52 @@ def make_horizon_sharded_sqp_solver(
             any_imp = jnp.any(improved)
             xs_next = jnp.where(any_imp, xs_c[idx], xs_tail)
             us_next = jnp.where(any_imp, us_c[idx], us)
+            if has_xbounds:
+                # Delayed first-order dual update (control/nmpc.py:
+                # per-step updates make primal and dual chase each
+                # other; see that docstring).
+                do_update = (
+                    it % xbound_lam_every
+                ) == (xbound_lam_every - 1)
+                xk_new = knot_states(xs_next)[:, :obsdim]
+                lam_lo, lam_hi = lam
+                lam_hi_n = jnp.maximum(
+                    0.0, lam_hi + mu_x * (xk_new - xhi)
+                ) * knot_w[:, None]
+                lam_lo_n = jnp.maximum(
+                    0.0, lam_lo + mu_x * (xlo - xk_new)
+                ) * knot_w[:, None]
+                xH_new = x_terminal(xs_next)[:obsdim]
+                lam_T_lo_n = jnp.maximum(
+                    0.0, lam_T[0] + mu_x * (xlo - xH_new)
+                )
+                lam_T_hi_n = jnp.maximum(
+                    0.0, lam_T[1] + mu_x * (xH_new - xhi)
+                )
+                lam = (
+                    jnp.where(do_update, lam_lo_n, lam_lo),
+                    jnp.where(do_update, lam_hi_n, lam_hi),
+                )
+                lam_T = (
+                    jnp.where(do_update, lam_T_lo_n, lam_T[0]),
+                    jnp.where(do_update, lam_T_hi_n, lam_T[1]),
+                )
+                return (xs_next, us_next, lam, lam_T), merits[idx]
             return (xs_next, us_next), merits[idx]
 
-        (xs_tail, us), _ = jax.lax.scan(
-            sqp_iteration, (xs_tail, us), None, length=sqp_iters
+        if has_xbounds:
+            Hc0 = xs_tail.shape[0]
+            lam0 = (
+                jnp.zeros((Hc0, obsdim)), jnp.zeros((Hc0, obsdim))
+            )
+            lam_T0 = (jnp.zeros(obsdim), jnp.zeros(obsdim))
+            carry0 = (xs_tail, us, lam0, lam_T0)
+        else:
+            carry0 = (xs_tail, us)
+        out, _ = jax.lax.scan(
+            sqp_iteration, carry0, jnp.arange(sqp_iters)
         )
-        return xs_tail, us
+        return out[0], out[1]
 
     sharded = jax.jit(
         jax.shard_map(

@@ -104,3 +104,48 @@ def test_horizon_sharded_long_horizon_runs_and_descends():
         cost.eval_obs_cost(jnp.asarray(x0))
     )
     assert obj_sol < obj_guess
+
+
+def test_horizon_sharded_sqp_xbounds_matches_single_device():
+    """Observation box constraints (the AL treatment added round 3,
+    control/nmpc.py) under horizon sharding == single device: same
+    multipliers schedule, same expansions, different layout."""
+    H = 16
+    pred_core, cost, kw = _setup(H)
+    kw = dict(kw, sqp_iters=16)
+    xb = (
+        jnp.array([-jnp.inf, -0.12, -jnp.inf, -jnp.inf]),
+        jnp.array([jnp.inf, 0.12, jnp.inf, jnp.inf]),
+    )
+    ref_solve = jax.jit(make_sqp_solver(
+        pred_core, cost, backward="assoc", xbounds=xb, **kw
+    ))
+    mesh = make_mesh(axis_names=("horizon",))
+    sh_solve = make_horizon_sharded_sqp_solver(
+        pred_core, cost, mesh=mesh, xbounds=xb, **kw
+    )
+    unb_solve = jax.jit(make_sqp_solver(
+        pred_core, cost, backward="assoc", **kw
+    ))
+
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(
+        rng.uniform(-1, 1, 4) * np.array([2.0, 0.5, 0.5, 0.5])
+    )
+    xs_g = jnp.zeros((H + 1, 4)).at[0].set(x0)
+    us_g = jnp.zeros((H, 1))
+    xs_u, _ = unb_solve({}, x0, xs_g, us_g)
+    # The fixture only means something if the bound binds.
+    assert float(jnp.max(jnp.abs(xs_u[1:, 1]))) > 0.15
+    xs_r, us_r = ref_solve({}, x0, xs_g, us_g)
+    xs_s, us_s = sh_solve({}, x0, xs_g, us_g)
+    assert float(jnp.max(jnp.abs(np.asarray(xs_s)[1:, 1]))) < 0.12 + 5e-3
+    # AL hinge boundaries can amplify layout reassociation on single
+    # knife-edge elements (measured: one control element at 7e-8 abs);
+    # slightly looser than the unconstrained parity test.
+    np.testing.assert_allclose(
+        np.asarray(xs_s), np.asarray(xs_r), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(us_s), np.asarray(us_r), rtol=1e-5, atol=1e-6,
+    )
