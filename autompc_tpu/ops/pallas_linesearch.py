@@ -342,10 +342,15 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
         cc = quad_form(u, R_ref, dc)
         if has_reg:
             dxm = [x[i] - regmu[i] for i in range(obsdim)]
+            # S is symmetric: sum the upper triangle with a 2x factor
+            # off-diagonal — halves the obsdim^2 scalar SMEM reads and
+            # FMA slabs per timestep (ADVICE r2 item 2; matters at
+            # halfcheetah-scale obsdim=18: 171 vs 324 terms/step).
             reg_terms = [
-                regS_ref[i, j] * dxm[i] * dxm[j]
+                (1.0 if i == j else 2.0) * regS_ref[i, j]
+                * dxm[i] * dxm[j]
                 for i in range(obsdim)
-                for j in range(obsdim)
+                for j in range(i, obsdim)
             ]
             oc = oc + regw_row * _tree_sum(reg_terms)
         obj = obj + dt * (oc + cc)
