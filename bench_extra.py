@@ -205,8 +205,7 @@ def main():
     hc_B = int(os.environ.get("BENCH_HC_ILQR_B", "1024"))
     hc_H = int(os.environ.get("BENCH_HC_ILQR_H", "200"))
     hc_backward = os.environ.get("BENCH_HC_ILQR_BACKWARD", "pallas")
-    hc_solve = jax.jit(make_batched_ilqr_solver(
-        hc_model.pred_core, hc_cost,
+    hc_solver_kw = dict(
         H=hc_H, ds=18, dc=6, obsdim=18, dt=hc.system.dt,
         ubounds=(hc_bounds[:, 0], hc_bounds[:, 1]),
         backward=hc_backward,
@@ -220,7 +219,33 @@ def main():
             if os.environ.get("BENCH_HC_ILQR_JAC", "analytic") == "analytic"
             else None
         ),
-    ))
+    )
+    # Device-side converged-lane compaction (round 3): the cheetah
+    # convergence histogram is long-tailed (median lane done by iter
+    # 12, 84% by 20, tail to 50 — tools/profile_cheetah_phases.py /
+    # VERDICT r2 item 3), so shrinking the live batch at static cuts
+    # measured 2,024.6 vs 806.6 solves/s interleaved (2.5x) at
+    # unchanged converged fraction (93.5% vs 93.1%). Cut fractions are
+    # sized to the histogram: an earlier first cut (10:0.5) trips the
+    # overflow branch — actives don't fit the bucket — and collapses
+    # to 746/s. BENCH_HC_ILQR_SCHED=off restores the plain batch.
+    hc_sched_env = os.environ.get(
+        "BENCH_HC_ILQR_SCHED", "12:0.5,18:0.25,26:0.125,34:0.0625"
+    )
+    if hc_sched_env != "off":
+        from autompc_tpu.control.ilqr import (
+            make_scheduled_ilqr_solver,
+            parse_schedule,
+        )
+
+        hc_solve = jax.jit(make_scheduled_ilqr_solver(
+            hc_model.pred_core, hc_cost,
+            schedule=parse_schedule(hc_sched_env), **hc_solver_kw,
+        ))
+    else:
+        hc_solve = jax.jit(make_batched_ilqr_solver(
+            hc_model.pred_core, hc_cost, **hc_solver_kw,
+        ))
     rng_hc = np.random.default_rng(0)
     hc_x0s = jnp.asarray(
         rng_hc.uniform(-0.1, 0.1, (hc_B, 18)), dtype=jnp.float32
@@ -235,17 +260,26 @@ def main():
         f"backward={hc_backward})",
         file=sys.stderr,
     )
-    reps = int(os.environ.get("BENCH_HC_ILQR_REPS", "2"))
-    start = time.perf_counter()
-    for r in range(reps):
-        out = hc_solve(hc_model.params, hc_x0s + 0.001 * r, hc_ug)
-        jax.block_until_ready(out)
-    lat = (time.perf_counter() - start) / reps
+    # timeit_distinct discipline (utils/profiling.py): distinct inputs
+    # per rep, first rep excluded as warmup — the plain rep loop (one
+    # of whose inputs repeated the warmup's) read 1,348 solves/s where
+    # four interleaved clean measurements read 2,033/2,033 (and the
+    # plain batch 807/807), so the loop's measurement noise exceeded
+    # the day-to-day drift band.
+    from autompc_tpu.utils.profiling import timeit_distinct
+
+    reps = int(os.environ.get("BENCH_HC_ILQR_REPS", "4"))
+    hc_inputs = [
+        (hc_model.params, hc_x0s + 0.001 * (r + 1), hc_ug)
+        for r in range(reps + 1)
+    ]
+    lat, out = timeit_distinct(hc_solve, hc_inputs, silent=True)
     results.append(
         {
             "metric": "halfcheetah_ilqr_solves_per_s_per_chip",
             "ds": 18, "dc": 6, "H": hc_H, "batch": hc_B,
             "backward": hc_backward,
+            "compact_schedule": hc_sched_env,
             "converged_frac": round(
                 float(np.asarray(out[0]).mean()), 3
             ),

@@ -29,6 +29,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compile cache: the joint fan-out programs take 10-25
+    # min to compile cold on the remote-compile path; cached reruns
+    # start in seconds (same setup as bench.py).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
