@@ -1182,6 +1182,14 @@ class DirectTranscriptionFanout:
                 model.pred_core, cost,
                 H=H, ds=ds, dc=dc, obsdim=n,
                 dt=system.dt, ubounds=(finite_lo, finite_hi),
+                # Observation box constraints, as in the standalone
+                # controller (DirectTranscriptionController; reference
+                # IPOPT variable bounds, nmpc.py:121-130).
+                xbounds=(
+                    (task.get_obs_bounds()[:, 0],
+                     task.get_obs_bounds()[:, 1])
+                    if task.are_obs_bounded() else None
+                ),
             )
 
             def ctrl_step(cstate, obs):

@@ -163,3 +163,48 @@ def test_controller_applies_task_obs_bounds():
         obs = model.pred_core(model.params, obs, u)
     # The warm-started knot plan in the controller state must obey the cap.
     assert np.asarray(cstate["xs_guess"])[1:, 1].max() <= VEL_CAP + 5e-3
+
+
+def test_dt_fanout_applies_task_obs_bounds():
+    """DirectTranscriptionFanout wires task obs bounds into its SQP:
+    an obs-bounded task's fan-out closed loop must score differently
+    (and its plans feasibly) vs the same task unbounded when the bound
+    binds."""
+    import jax.numpy as jnp
+
+    from autompc_tpu.core.task import Task
+    from autompc_tpu.parallel.fanout import DirectTranscriptionFanout
+    from autompc_tpu.sysid.dummy import DummyLinear
+
+    system = System(["pos", "vel"], ["acc"], dt=DT)
+    model = DummyLinear(system, jnp.asarray(A), jnp.asarray(B))
+
+    def make_task(bounded):
+        task = Task(system)
+        task.set_ctrl_bounds(np.array([-UB]), np.array([UB]))
+        if bounded:
+            task.set_obs_bound("vel", -np.inf, VEL_CAP)
+        task.set_cost(QuadCost(
+            system, jnp.asarray(Q), jnp.asarray(R), jnp.asarray(F),
+            goal=jnp.asarray(GOAL),
+        ))
+        task.set_init_obs(X0)
+        task.set_num_steps(6)
+        return task
+
+    batch = {
+        "Qdiag": jnp.asarray(np.tile(np.diag(Q), (2, 1))),
+        "Rdiag": jnp.asarray(np.tile(np.diag(R), (2, 1))),
+        "Fdiag": jnp.asarray(np.tile(np.diag(F), (2, 1))),
+    }
+    costs = {}
+    for bounded in (False, True):
+        fan = DirectTranscriptionFanout(
+            system, make_task(bounded), model, model,
+            horizon_knots=H, goal=GOAL,
+        )
+        costs[bounded] = np.asarray(fan(batch))
+        assert np.all(np.isfinite(costs[bounded]))
+    # The cap binds on this fixture (test_unconstrained_solution_
+    # violates_cap), so the bounded fan-out must behave differently.
+    assert not np.allclose(costs[True], costs[False])
