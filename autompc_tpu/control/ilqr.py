@@ -261,6 +261,7 @@ def make_batched_ilqr_solver(
     reg_matrix=None,
     reg_goal=None,
     pred_diff=None,
+    mlp_ls=None,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
     (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
@@ -815,6 +816,26 @@ def make_batched_ilqr_solver(
                         ls_umin, ls_umax,
                         block_b=TB if B % TB == 0 else B,
                         block_l=ls_block_l,
+                    )
+                elif mlp_ls is not None:
+                    # Time-streamed MLP rollout kernel (ops/
+                    # pallas_mlp_linesearch.py): one launch for the
+                    # whole (B, L, H) rollout instead of H sequential
+                    # XLA scan micro-kernels. ``mlp_ls`` is a dict:
+                    # nonlin (required), interpret (tests).
+                    from ..ops.pallas_mlp_linesearch import (
+                        fold_mlp_params,
+                        pallas_mlp_line_search,
+                    )
+
+                    TB = min(block_b, B)
+                    ls_xs, ls_us = pallas_mlp_line_search(
+                        fold_mlp_params(pp, mlp_ls["nonlin"]),
+                        mlp_ls["nonlin"],
+                        x0s, xs, us, Ks, ks, alphas,
+                        ls_umin, ls_umax,
+                        block_b=TB if B % TB == 0 else B,
+                        interpret=bool(mlp_ls.get("interpret", False)),
                     )
                 else:
                     ls_xs, ls_us = jax.vmap(

@@ -1,0 +1,246 @@
+"""Pallas TPU kernel: batched iLQR line-search rollouts for MLP models.
+
+The SINDy line-search kernel (ops/pallas_linesearch.py) keeps the whole
+horizon window in VMEM — fine at cartpole dims, impossible at
+halfcheetah scale (a (H, dc, ds, TB) feedback-gain window alone is
+~11 MB). This kernel therefore uses the same time-streamed layout as
+the general backward kernel (ops/pallas_riccati.py:
+pallas_tvlqr_backward_general): a ``(batch-blocks, H)`` grid whose
+second axis streams one time slice per cell through the double-buffered
+Pallas pipeline, with the rolling state carried in VMEM scratch across
+cells. Replaces the XLA-scan line search's ~H sequential micro-kernel
+dispatches with one kernel launch.
+
+Model semantics are exactly ``MLP.pred_core`` (sysid/mlp.py:284-289)
+with the z-scoring FOLDED into the first/last layers
+(``fold_mlp_params``), so the in-kernel network is a plain
+``act(x W + b)`` stack and ``pred(x, u) = x + net([x; u])``.
+
+All compute is lanes-last slab arithmetic — state components and
+hidden units are (L, TB) slabs, weights are SMEM scalars — vectorizing
+over (alphas x lanes) on the VPU, the same style as the rest of the
+kernel family. Matches ``make_ilqr_solver``'s vmapped line search up to
+f32 reassociation (test-pinned).
+
+Reference hot path being replaced: autompc/control/ilqr.py:196-205 at
+halfcheetah dims (18 obs / 6 ctrl, MLP dynamics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ACT = {
+    "relu": lambda a: jnp.maximum(a, 0.0),
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "selu": jax.nn.selu,
+}
+
+
+def _tree_sum(vals):
+    """Balanced summation (matches ops/pallas_linesearch.py — f32
+    left-folds over many terms visibly shift knife-edge acceptance)."""
+    vals = list(vals)
+    while len(vals) > 1:
+        nxt = [vals[i] + vals[i + 1] for i in range(0, len(vals) - 1, 2)]
+        if len(vals) % 2:
+            nxt.append(vals[-1])
+        vals = nxt
+    return vals[0]
+
+
+def fold_mlp_params(params, nonlintype):
+    """Fold the MLP's z-scoring into its first/last layers.
+
+    ``MLP.pred_core`` computes ``x + (net((xu - m)/s) * dy_std +
+    dy_means)``; with ``W1' = W1 / s[:, None]``, ``b1' = b1 - (m/s) W1``
+    and ``W_L' = W_L * dy_std[None, :]``, ``b_L' = b_L * dy_std +
+    dy_means`` the same function is a plain stack over raw ``[x; u]``.
+    Returns a tuple of (W, b) pairs. (Pure jnp — folds at trace time
+    inside the jitted solver body at negligible cost.)
+    """
+    net = params["net"]
+    s = params["xu_std"]
+    m = params["xu_means"]
+    layers = [(jnp.asarray(la["W"]), jnp.asarray(la["b"])) for la in net]
+    W1, b1 = layers[0]
+    layers[0] = (W1 / s[:, None], b1 - (m / s) @ W1)
+    WL, bL = layers[-1]
+    layers[-1] = (
+        WL * params["dy_std"][None, :],
+        bL * params["dy_std"] + params["dy_means"],
+    )
+    del nonlintype  # semantics only; folding is activation-agnostic
+    return tuple(layers)
+
+
+def _mlp_ls_kernel(ds, dc, L, widths, nonlin,
+                   x0_ref, xs_ref, us_ref, Ks_ref, ks_ref,
+                   alphas_ref, umin_ref, umax_ref, *refs):
+    """One (batch-block, t) grid cell.
+
+    Per-cell shapes (lanes last): x0 (ds, TB), xs (1, ds, TB),
+    us (1, dc, TB), Ks (1, dc, ds, TB), ks (1, dc, TB);
+    alphas (L, 1), umin/umax (dc, 1) [SMEM]; then per layer W
+    (n_in, n_out) + b (n_out, 1) [SMEM]; outs out_xs (1, L, ds, TB),
+    out_us (1, L, dc, TB); scratch x_s (ds, L, TB)."""
+    n_layers = len(widths) - 1
+    w_refs = refs[: 2 * n_layers]
+    out_xs_ref, out_us_ref = refs[2 * n_layers: 2 * n_layers + 2]
+    x_s = refs[2 * n_layers + 2]
+    act = _ACT[nonlin]
+    TB = x0_ref.shape[-1]
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _init():
+        for i in range(ds):
+            x_s[i] = jnp.broadcast_to(x0_ref[i][None, :], (L, TB))
+
+    x = [x_s[i] for i in range(ds)]
+    alphas = [alphas_ref[l, 0] for l in range(L)]
+    alpha_col = jnp.stack(alphas)[:, None]              # (L, 1)
+
+    # Feedback law u_j = clip(alpha k_j + ubar_j + K_j . (x - xbar)).
+    dx = [x[i] - xs_ref[0, i][None, :] for i in range(ds)]
+    u = []
+    for j in range(dc):
+        fb = _tree_sum([Ks_ref[0, j, i][None, :] * dx[i]
+                        for i in range(ds)])
+        u_j = alpha_col * ks_ref[0, j][None, :] + us_ref[0, j][None, :] + fb
+        u.append(jnp.clip(u_j, umin_ref[j, 0], umax_ref[j, 0]))
+
+    # Plain MLP over [x; u] (z-scoring pre-folded into the weights).
+    z = x + u                                            # ds + dc slabs
+    for li in range(n_layers):
+        W_ref = w_refs[2 * li]
+        b_ref = w_refs[2 * li + 1]
+        n_in, n_out = widths[li], widths[li + 1]
+        h = []
+        for k in range(n_out):
+            acc = _tree_sum([W_ref[c, k] * z[c] for c in range(n_in)])
+            acc = acc + b_ref[k, 0]
+            h.append(acc if li == n_layers - 1 else act(acc))
+        z = h
+    x_new = [x[i] + z[i] for i in range(ds)]
+
+    for i in range(ds):
+        x_s[i] = x_new[i]
+        out_xs_ref[0, :, i] = x_new[i]
+    for j in range(dc):
+        out_us_ref[0, :, j] = u[j]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nonlin", "block_b", "interpret")
+)
+def pallas_mlp_line_search(
+    layers, nonlin, x0, xs, us, Ks, ks, alphas, umin, umax,
+    block_b: int = 128, interpret: bool = False,
+):
+    """Batched line-search rollouts for an MLP dynamics model.
+
+    Parameters
+    ----------
+    layers : tuple of (W (n_in, n_out), b (n_out,)) — the FOLDED stack
+        from ``fold_mlp_params`` (z-scoring absorbed)
+    nonlin : activation name (static)
+    x0 (B, ds), xs (B, H+1, ds), us (B, H, dc), Ks (B, H, dc, ds),
+    ks (B, H, dc), alphas (L,), umin/umax scalars or (dc,)
+
+    Returns (ls_xs (B, L, H+1, ds), ls_us (B, L, H, dc)), matching
+    ``jax.vmap(line_search_one)`` (control/ilqr.py) up to f32
+    reassociation.
+    """
+    B, Hp1, ds = xs.shape
+    H = Hp1 - 1
+    dc = us.shape[-1]
+    L = alphas.shape[0]
+    TB = min(block_b, B)
+    if B % TB != 0:
+        raise ValueError(f"batch {B} not divisible by block {TB}")
+    widths = tuple([ds + dc] + [b.shape[0] for _, b in layers])
+    if widths[-1] != ds:
+        raise ValueError(
+            f"MLP output width {widths[-1]} != state dim {ds}"
+        )
+
+    x0T = jnp.transpose(x0, (1, 0))                    # (ds, B)
+    xsT = jnp.transpose(xs[:, :H], (1, 2, 0))          # (H, ds, B)
+    usT = jnp.transpose(us, (1, 2, 0))                 # (H, dc, B)
+    KsT = jnp.transpose(Ks, (1, 2, 3, 0))              # (H, dc, ds, B)
+    ksT = jnp.transpose(ks, (1, 2, 0))                 # (H, dc, B)
+    alphas2 = alphas[:, None].astype(xs.dtype)
+    umin2 = jnp.broadcast_to(
+        jnp.asarray(umin, dtype=xs.dtype).reshape(-1, 1), (dc, 1)
+    )
+    umax2 = jnp.broadcast_to(
+        jnp.asarray(umax, dtype=xs.dtype).reshape(-1, 1), (dc, 1)
+    )
+    w_ins = []
+    w_specs = []
+    for W, b in layers:
+        w_ins.append(W.astype(xs.dtype))
+        w_ins.append(b.astype(xs.dtype).reshape(-1, 1))
+
+    kernel = functools.partial(
+        _mlp_ls_kernel, ds, dc, L, widths, nonlin
+    )
+    grid = (B // TB, H)
+
+    def tspec(shape_mid):
+        nd = len(shape_mid)
+        return pl.BlockSpec(
+            (1,) + shape_mid + (TB,),
+            lambda b, t, nd=nd: (t,) + (0,) * nd + (b,),
+            memory_space=pltpu.VMEM,
+        )
+
+    def cspec(shape_prefix):
+        nd = len(shape_prefix)
+        return pl.BlockSpec(
+            shape_prefix + (TB,),
+            lambda b, t, nd=nd: (0,) * nd + (b,),
+            memory_space=pltpu.VMEM,
+        )
+
+    def sspec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                            memory_space=pltpu.SMEM)
+
+    for W, b in layers:
+        w_specs.append(sspec(W.shape))
+        w_specs.append(sspec((b.shape[0], 1)))
+
+    out_xsT, out_usT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            cspec((ds,)), tspec((ds,)), tspec((dc,)),
+            tspec((dc, ds)), tspec((dc,)),
+            sspec((L, 1)), sspec((dc, 1)), sspec((dc, 1)),
+            *w_specs,
+        ],
+        out_specs=(
+            tspec((L, ds)),
+            tspec((L, dc)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, L, ds, B), xs.dtype),
+            jax.ShapeDtypeStruct((H, L, dc, B), xs.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((ds, L, TB), xs.dtype)],
+        interpret=interpret,
+    )(x0T, xsT, usT, KsT, ksT, alphas2, umin2, umax2, *w_ins)
+
+    ls_xs1 = jnp.transpose(out_xsT, (3, 1, 0, 2))      # (B, L, H, ds)
+    ls_us = jnp.transpose(out_usT, (3, 1, 0, 2))       # (B, L, H, dc)
+    x0_row = jnp.broadcast_to(x0[:, None, None, :], (B, L, 1, ds))
+    ls_xs = jnp.concatenate([x0_row, ls_xs1], axis=2)  # (B, L, H+1, ds)
+    return ls_xs, ls_us
