@@ -219,6 +219,14 @@ def main():
             if os.environ.get("BENCH_HC_ILQR_JAC", "analytic") == "analytic"
             else None
         ),
+        # BENCH_HC_ILQR_LS=pallas opts the line search into the
+        # time-streamed MLP rollout kernel (ops/pallas_mlp_linesearch);
+        # default keeps the XLA scan pending an on-hardware win.
+        mlp_ls=(
+            dict(nonlin=hc_model.nonlintype)
+            if os.environ.get("BENCH_HC_ILQR_LS", "off") == "pallas"
+            else None
+        ),
     )
     # Device-side converged-lane compaction (round 3): the cheetah
     # convergence histogram is long-tailed (median lane done by iter

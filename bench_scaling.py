@@ -59,10 +59,26 @@ def main():
     # compaction inside the per-step solve, and (on TPU) the Pallas
     # Riccati-backward + line-search kernels.
     on_tpu = jax.default_backend() == "tpu"
-    per_device = int(os.environ.get("SCALE_PER_DEVICE", "512"))
-    compact = parse_schedule(
-        os.environ.get("SCALE_COMPACT", "8:0.5,16:0.25,28:0.125,40:0.0625")
-    )
+    mode_early = os.environ.get("SCALE_MODE", "fixed")
+    # Joint-mode defaults re-tuned round 3 (the post-Gram balance made
+    # the per-step solve ~45% of the eval, so compaction matters again
+    # — VERDICT r2 item 6): interleaved sweep measured, at 512/chip,
+    # none 2,448-2,461 < 12:0.5,20:0.25 2,925-2,956 < the round-2
+    # default 2,976-3,011 < 6:0.5,12:0.25,20:0.125 3,075-3,129 <
+    # 4:0.5,8:0.25,14:0.125 3,198-3,221; batch 1024/chip adds ~18%
+    # (best pair 3,771-3,808 evals/s; 2048 ties it at 4x the memory).
+    if mode_early == "joint":
+        per_device = int(os.environ.get("SCALE_PER_DEVICE", "1024"))
+        compact = parse_schedule(
+            os.environ.get("SCALE_COMPACT", "4:0.5,8:0.25,14:0.125")
+        )
+    else:
+        per_device = int(os.environ.get("SCALE_PER_DEVICE", "512"))
+        compact = parse_schedule(
+            os.environ.get(
+                "SCALE_COMPACT", "8:0.5,16:0.25,28:0.125,40:0.0625"
+            )
+        )
     backward = os.environ.get(
         "SCALE_BACKWARD", "pallas" if on_tpu else "scan"
     )
