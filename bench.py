@@ -80,9 +80,13 @@ def main():
 
     H = 200
     bounds = benchmark.task.get_ctrl_bounds()
-    # Throughput saturates with batch: 4585 solves/s at B=4096, 4954 at
-    # 8192, 5002 at 16384 (v5e, pallas backward + line-search kernels).
-    B = int(os.environ.get("BENCH_BATCH", "16384"))
+    # Batch re-swept round 3 (fused kernels + compaction shift the
+    # saturation point): 32,984 solves/s at B=16384, 37,576 at 32768,
+    # 43,942 at 65536 (interleaved, 2026-08-21). The first-ever run at
+    # a new batch shape can read low (one 13.7k outlier at 65536's
+    # first execution; stable 43.9-46k after) — the committed prewarm
+    # covers that.
+    B = int(os.environ.get("BENCH_BATCH", "65536"))
     backward = os.environ.get("BENCH_BACKWARD", "pallas")
     if backward == "vmap":
         solve = make_ilqr_solver(
@@ -146,14 +150,17 @@ def main():
         if os.environ.get("BENCH_SCHED", "on") != "off":
             from autompc_tpu.control.ilqr import parse_schedule
 
-            # Re-tuned after the kernel work made the body ~4x faster
-            # (wasted converged-lane iterations now dominate): 4 cuts
-            # measured 41198 vs 38565 solves/s for the previous
-            # 2-cut schedule; earlier first cuts (6:0.75) trip the
-            # overflow branch and collapse to 27k.
+            # Re-tuned round 3 at the larger batch: the 5-cut
+            # aggressive schedule beats the round-2 4-cut default
+            # (interleaved at B=65536: 45,986/45,964 vs 43,895/43,942;
+            # at B=32768: 39,443-40,748 vs 37,186-37,576). Earlier
+            # first cuts than the ~35%-done point trip the overflow
+            # branch and forfeit the win (measured on cartpole round 2
+            # and again on cheetah round 3).
             schedule = parse_schedule(
                 os.environ.get(
-                    "BENCH_SCHEDULE", "10:0.75,20:0.5,30:0.25,40:0.125"
+                    "BENCH_SCHEDULE",
+                    "8:0.75,15:0.5,22:0.25,30:0.125,40:0.0625",
                 )
             )
             if schedule:
