@@ -92,9 +92,7 @@ def main():
     Fd = jnp.ones(ds)
     goal = jnp.zeros(ds)
 
-    def expansions(c):
-        xs, us = c["xs"], c["us"]
-
+    def expansions(xs, us):
         def term_one(x):
             Vn = 2.0 * jnp.diag(Fd)
             vn = 2.0 * Fd * (x - goal)
@@ -112,17 +110,19 @@ def main():
         return Vn, vn, Cxx, Cuu, cx, cu
 
     jexp = jax.jit(expansions)
-    Vn, vn, Cxx, Cuu, cx, cu = jexp(carry)
+    Vn, vn, Cxx, Cuu, cx, cu = jexp(carry["xs"], carry["us"])
     jax.block_until_ready(vn)
 
-    def backward(c, Cxx, Cuu, cx, cu, Vn, vn):
+    def backward(Jx, Ju, Cxx, Cuu, cx, cu, Vn, vn):
         return pallas_tvlqr_backward_general(
-            c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn,
+            Jx, Ju, Cxx, Cuu, cx, cu, Vn, vn,
             block_b=block_b if B % block_b == 0 else B,
         )
 
     jback = jax.jit(backward)
-    Ks, ks, lin_red, quad_red = jback(carry, Cxx, Cuu, cx, cu, Vn, vn)
+    Ks, ks, lin_red, quad_red = jback(
+        carry["Jx"], carry["Ju"], Cxx, Cuu, cx, cu, Vn, vn
+    )
     jax.block_until_ready(ks)
 
     def clip_u(u):
@@ -141,14 +141,14 @@ def main():
 
         return jax.vmap(rollout)(alphas)
 
-    def linesearch(c, Ks, ks):
-        return jax.vmap(line_search_one)(c["x0s"], c["xs"], c["us"], Ks, ks)
+    def linesearch(x0s, xs, us, Ks, ks):
+        return jax.vmap(line_search_one)(x0s, xs, us, Ks, ks)
 
     jls = jax.jit(linesearch)
-    ls_xs, ls_us = jls(carry, Ks, ks)
+    ls_xs, ls_us = jls(carry["x0s"], carry["xs"], carry["us"], Ks, ks)
     jax.block_until_ready(ls_us)
 
-    def objective(c, ls_xs, ls_us, lin_red, quad_red, ks):
+    def objective(obj0, ls_xs, ls_us, lin_red, quad_red, ks):
         def obj_one(xs, us):
             dx = xs[:H] - goal
             oc = jnp.sum(dx * dx * Qd[None, :])
@@ -163,7 +163,7 @@ def main():
         ) * quad_red[:, None] / 2
         ratios = jnp.where(
             jnp.abs(expect) > 1e-30,
-            (c["obj"][:, None] - new_objs) / -expect, -jnp.inf,
+            (obj0[:, None] - new_objs) / -expect, -jnp.inf,
         )
         accept = ratios > 0.3
         any_acc = jnp.any(accept, axis=1)
@@ -176,7 +176,9 @@ def main():
         return take(ls_xs, chosen), take(ls_us, chosen), take(new_objs, chosen)
 
     jobj = jax.jit(objective)
-    acc_xs, acc_us, acc_obj = jobj(carry, ls_xs, ls_us, lin_red, quad_red, ks)
+    acc_xs, acc_us, acc_obj = jobj(
+        carry["obj"], ls_xs, ls_us, lin_red, quad_red, ks
+    )
     jax.block_until_ready(acc_obj)
 
     def relinearize(xs, us):
@@ -190,20 +192,31 @@ def main():
     Jx, Ju = jrel(acc_xs, acc_us)
     jax.block_until_ready(Ju)
 
-    reps = int(os.environ.get("PHASE_REPS", "10"))
+    # timeit_distinct needs DISTINCT inputs per rep (the axon remote
+    # layer memoizes repeated (program, input) dispatches); vary one
+    # cheap argument per phase.
+    reps = int(os.environ.get("PHASE_REPS", "6"))
+    eps = [1e-6 * (r + 1) for r in range(reps)]
     rows = [
-        ("expansions", lambda: jexp(carry)),
-        ("backward", lambda: jback(carry, Cxx, Cuu, cx, cu, Vn, vn)),
-        ("linesearch", lambda: jls(carry, Ks, ks)),
-        ("objective", lambda: jobj(
-            carry, ls_xs, ls_us, lin_red, quad_red, ks)),
-        ("relinearize", lambda: jrel(acc_xs, acc_us)),
-        ("body", lambda: jbody(carry)),
+        ("expansions", jexp,
+         [(carry["xs"] + e, carry["us"]) for e in eps]),
+        ("backward", jback,
+         [(carry["Jx"], carry["Ju"], Cxx, Cuu, cx + e, cu, Vn, vn)
+          for e in eps]),
+        ("linesearch", jls,
+         [(carry["x0s"] + e, carry["xs"], carry["us"], Ks, ks)
+          for e in eps]),
+        ("objective", jobj,
+         [(carry["obj"] + e, ls_xs, ls_us, lin_red, quad_red, ks)
+          for e in eps]),
+        ("relinearize", jrel, [(acc_xs + e, acc_us) for e in eps]),
+        ("body", jbody,
+         [(dict(carry, x0s=carry["x0s"] + e),) for e in eps]),
     ]
     print(f"[phase] B={B} H={H} ds={ds} dc={dc} reps={reps}")
-    for name, fn in rows:
-        ms = timeit_distinct(fn, reps=reps) * 1e3
-        print(f"[phase] {name:12s} {ms:9.2f} ms")
+    for name, fn, inputs in rows:
+        ms, _ = timeit_distinct(fn, inputs, silent=True)
+        print(f"[phase] {name:12s} {ms * 1e3:9.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
