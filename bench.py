@@ -82,10 +82,11 @@ def main():
     bounds = benchmark.task.get_ctrl_bounds()
     # Batch re-swept round 3 (fused kernels + compaction shift the
     # saturation point): 32,984 solves/s at B=16384, 37,576 at 32768,
-    # 43,942 at 65536 (interleaved, 2026-08-21). The first-ever run at
-    # a new batch shape can read low (one 13.7k outlier at 65536's
-    # first execution; stable 43.9-46k after) — the committed prewarm
-    # covers that.
+    # 43,942 at 65536 (interleaved, 2026-08-21); 131072 exceeds HBM
+    # (RESOURCE_EXHAUSTED), so 65536 is the single-chip roofline. The
+    # first-ever run at a new batch shape can read low (one 13.7k
+    # outlier at 65536's first execution; stable 43.9-46k after) — the
+    # committed prewarm covers that.
     B = int(os.environ.get("BENCH_BATCH", "65536"))
     backward = os.environ.get("BENCH_BACKWARD", "pallas")
     if backward == "vmap":
