@@ -114,7 +114,9 @@ def main():
             induce_count=int(os.environ.get("SCALE_GP_M", "100")),
         )
         gp_model.train(trajs_list)
-        per_device = int(os.environ.get("SCALE_PER_DEVICE", "256"))
+        # 512/chip saturates (649.3 at 512 ~= 650.8 at 1024 vs 614.3
+        # at 256, interleaved round 3).
+        per_device = int(os.environ.get("SCALE_PER_DEVICE", "512"))
         # GP solves have a different convergence histogram: the
         # aggressive fixed-mode schedule trips the overflow branch and
         # REGRESSES the row (394 vs 609.7 evals/s measured) — keep the
