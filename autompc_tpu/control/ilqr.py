@@ -828,14 +828,19 @@ def make_batched_ilqr_solver(
                         pallas_mlp_line_search,
                     )
 
-                    TB = min(block_b, B)
+                    # The kernel's own block size (the MXU layout's
+                    # VMEM footprint scales with L * TB * 128-padded
+                    # lanes, so its optimum can differ from the
+                    # backward kernel's shared block_b).
+                    ls_tb = min(int(mlp_ls.get("block_b", block_b)), B)
                     ls_xs, ls_us = pallas_mlp_line_search(
                         fold_mlp_params(pp, mlp_ls["nonlin"]),
                         mlp_ls["nonlin"],
                         x0s, xs, us, Ks, ks, alphas,
                         ls_umin, ls_umax,
-                        block_b=TB if B % TB == 0 else B,
+                        block_b=ls_tb if B % ls_tb == 0 else B,
                         interpret=bool(mlp_ls.get("interpret", False)),
+                        layout=str(mlp_ls.get("layout", "slab")),
                     )
                 else:
                     ls_xs, ls_us = jax.vmap(

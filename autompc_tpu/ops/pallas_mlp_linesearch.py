@@ -137,12 +137,92 @@ def _mlp_ls_kernel(ds, dc, L, widths, nonlin,
         out_us_ref[0, :, j] = u[j]
 
 
+def _mlp_ls_kernel_mxu(ds, dc, L, widths, nonlin,
+                       x0_ref, xs_ref, us_ref, Ks_ref, ks_ref,
+                       alphar_ref, umin_ref, umax_ref, *refs):
+    """MXU-layout variant: rows = (alphas x lanes) flattened, lanes =
+    feature dim, so the MLP layers run as real f32 ``dot_general``s on
+    the MXU instead of per-hidden-unit VPU slab FMAs.
+
+    Mosaic constraints shape the data movement: no lane-collapsing
+    reshapes (only leading-dim merges/splits with the minor dim
+    intact), no full-array SMEM loads — so the per-row alpha column
+    arrives precomputed as an (R, 1) VMEM input, reductions keep dims,
+    and outputs are written as (L, TB, d) leading-dim splits.
+
+    Per-cell shapes (feature-minor): x0 (TB, ds), xs (1, TB, ds),
+    us (1, TB, dc), Ks (1, TB, dc, ds), ks (1, TB, dc),
+    alpha rows (R, 1); weights VMEM (n_in, n_out) + biases (1, n_out);
+    outs out_xs (1, 1, L, TB, ds), out_us (1, 1, L, TB, dc);
+    scratch x_s (R, ds)."""
+    n_layers = len(widths) - 1
+    w_refs = refs[: 2 * n_layers]
+    out_xs_ref, out_us_ref = refs[2 * n_layers: 2 * n_layers + 2]
+    x_s = refs[2 * n_layers + 2]
+    act = _ACT[nonlin]
+    TB = x0_ref.shape[0]
+    R = L * TB
+    t_idx = pl.program_id(1)
+
+    def bcast(a):
+        # (TB, d) -> (R, d): leading-dim broadcast + merge (minor dim
+        # untouched — the Mosaic-supported reshape family).
+        return jnp.broadcast_to(a[None], (L,) + a.shape).reshape(
+            R, a.shape[-1]
+        )
+
+    @pl.when(t_idx == 0)
+    def _init():
+        x_s[...] = bcast(x0_ref[...])
+
+    x = x_s[...]                                        # (R, ds)
+    alpha_r = alphar_ref[...]                           # (R, 1)
+
+    dx = x - bcast(xs_ref[0])
+    ubar = bcast(us_ref[0])                             # (R, dc)
+    kvec = bcast(ks_ref[0])                             # (R, dc)
+    u_cols = []
+    for j in range(dc):
+        fb = jnp.sum(dx * bcast(Ks_ref[0, :, j, :]), axis=1,
+                     keepdims=True)                     # (R, 1)
+        u_j = alpha_r * kvec[:, j:j + 1] + ubar[:, j:j + 1] + fb
+        u_cols.append(jnp.clip(u_j, umin_ref[j, 0], umax_ref[j, 0]))
+
+    # First layer: split W1 into state and control rows so no lane
+    # concatenation feeds the matmul — u contributes dc rank-1 updates.
+    W1_ref, b1_ref = w_refs[0], w_refs[1]
+    a1 = jax.lax.dot_general(
+        x, W1_ref[:ds, :],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    for j in range(dc):
+        a1 = a1 + u_cols[j] * W1_ref[ds + j, :][None, :]
+    h = act(a1 + b1_ref[0][None, :])
+    for li in range(1, n_layers):
+        W_ref, b_ref = w_refs[2 * li], w_refs[2 * li + 1]
+        a = jax.lax.dot_general(
+            h, W_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=h.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ) + b_ref[0][None, :]
+        h = a if li == n_layers - 1 else act(a)
+    x_new = x + h
+
+    x_s[...] = x_new
+    out_xs_ref[0, 0] = x_new.reshape(L, TB, ds)
+    U = jnp.concatenate(u_cols, axis=1)                 # (R, dc)
+    out_us_ref[0, 0] = U.reshape(L, TB, dc)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("nonlin", "block_b", "interpret")
+    jax.jit, static_argnames=("nonlin", "block_b", "interpret", "layout")
 )
 def pallas_mlp_line_search(
     layers, nonlin, x0, xs, us, Ks, ks, alphas, umin, umax,
-    block_b: int = 128, interpret: bool = False,
+    block_b: int = 128, interpret: bool = False, layout: str = "slab",
 ):
     """Batched line-search rollouts for an MLP dynamics model.
 
@@ -169,6 +249,12 @@ def pallas_mlp_line_search(
     if widths[-1] != ds:
         raise ValueError(
             f"MLP output width {widths[-1]} != state dim {ds}"
+        )
+
+    if layout == "mxu":
+        return _mlp_line_search_mxu(
+            layers, nonlin, x0, xs, us, Ks, ks, alphas, umin, umax,
+            widths, TB, interpret,
         )
 
     x0T = jnp.transpose(x0, (1, 0))                    # (ds, B)
@@ -243,4 +329,94 @@ def pallas_mlp_line_search(
     ls_us = jnp.transpose(out_usT, (3, 1, 0, 2))       # (B, L, H, dc)
     x0_row = jnp.broadcast_to(x0[:, None, None, :], (B, L, 1, ds))
     ls_xs = jnp.concatenate([x0_row, ls_xs1], axis=2)  # (B, L, H+1, ds)
+    return ls_xs, ls_us
+
+
+def _mlp_line_search_mxu(layers, nonlin, x0, xs, us, Ks, ks, alphas,
+                         umin, umax, widths, TB, interpret):
+    """Feature-minor driver for the MXU kernel (see
+    _mlp_ls_kernel_mxu). Same contract as the slab layout."""
+    B, Hp1, ds = xs.shape
+    H = Hp1 - 1
+    dc = us.shape[-1]
+    L = alphas.shape[0]
+    R = L * TB
+    NB = B // TB
+
+    xsT = jnp.transpose(xs[:, :H], (1, 0, 2))          # (H, B, ds)
+    usT = jnp.transpose(us, (1, 0, 2))                 # (H, B, dc)
+    KsT = jnp.transpose(Ks, (1, 0, 2, 3))              # (H, B, dc, ds)
+    ksT = jnp.transpose(ks, (1, 0, 2))                 # (H, B, dc)
+    # Per-row alpha column for the kernel's (alphas x lanes) row order.
+    alpha_rows = jnp.broadcast_to(
+        alphas.astype(xs.dtype)[:, None, None], (L, TB, 1)
+    ).reshape(R, 1)
+    umin2 = jnp.broadcast_to(
+        jnp.asarray(umin, dtype=xs.dtype).reshape(-1, 1), (dc, 1)
+    )
+    umax2 = jnp.broadcast_to(
+        jnp.asarray(umax, dtype=xs.dtype).reshape(-1, 1), (dc, 1)
+    )
+    w_ins = []
+    for W, b in layers:
+        w_ins.append(W.astype(xs.dtype))
+        w_ins.append(b.astype(xs.dtype).reshape(1, -1))
+
+    kernel = functools.partial(
+        _mlp_ls_kernel_mxu, ds, dc, L, widths, nonlin
+    )
+    grid = (NB, H)
+
+    def tspec(shape_tail):
+        nd = len(shape_tail)
+        return pl.BlockSpec(
+            (1, TB) + shape_tail[1:],
+            lambda b, t: (t, b) + (0,) * (nd - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    def sspec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                            memory_space=pltpu.SMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out_xsT, out_usT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, ds), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),      # x0
+            tspec((TB, ds)), tspec((TB, dc)),
+            tspec((TB, dc, ds)), tspec((TB, dc)),
+            wspec((R, 1)), sspec((dc, 1)), sspec((dc, 1)),
+            *[wspec(w.shape) for w in w_ins],
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, L, TB, ds),
+                         lambda b, t: (t, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L, TB, dc),
+                         lambda b, t: (t, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, NB, L, TB, ds), xs.dtype),
+            jax.ShapeDtypeStruct((H, NB, L, TB, dc), xs.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((R, ds), xs.dtype)],
+        interpret=interpret,
+    )(x0, xsT, usT, KsT, ksT, alpha_rows, umin2, umax2, *w_ins)
+
+    # (H, NB, L, TB, d) -> (NB, TB, L, H, d) -> (B, L, H, d).
+    ls_xs1 = jnp.transpose(out_xsT, (1, 3, 2, 0, 4)).reshape(
+        B, L, H, ds
+    )
+    ls_us = jnp.transpose(out_usT, (1, 3, 2, 0, 4)).reshape(
+        B, L, H, dc
+    )
+    x0_row = jnp.broadcast_to(x0[:, None, None, :], (B, L, 1, ds))
+    ls_xs = jnp.concatenate([x0_row, ls_xs1], axis=2)
     return ls_xs, ls_us

@@ -220,10 +220,14 @@ def main():
             else None
         ),
         # BENCH_HC_ILQR_LS=pallas opts the line search into the
-        # time-streamed MLP rollout kernel (ops/pallas_mlp_linesearch);
-        # default keeps the XLA scan pending an on-hardware win.
+        # time-streamed MLP rollout kernel (ops/pallas_mlp_linesearch,
+        # MXU layout, block 128 — its VMEM footprint pads lanes to
+        # 128). Measured: the kernel is the fastest HONEST-f32 line
+        # search (1,531-1,547 solves/s, 99.8% converged) but the
+        # default XLA scan rides bf16 MXU matmuls to 2,030 at 94.6%
+        # converged — throughput default stays the scan (PERF.md).
         mlp_ls=(
-            dict(nonlin=hc_model.nonlintype)
+            dict(nonlin=hc_model.nonlintype, layout="mxu", block_b=128)
             if os.environ.get("BENCH_HC_ILQR_LS", "off") == "pallas"
             else None
         ),
