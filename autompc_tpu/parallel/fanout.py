@@ -49,8 +49,15 @@ def _validate_regw(batch, has_reg, cls_name):
         (v for k, v in batch.items() if k != "regw" and hasattr(v, "shape")),
         None,
     )
-    if ref is not None and hasattr(regw, "shape"):
-        if len(regw.shape) != 1 or regw.shape[0] != ref.shape[0]:
+    if hasattr(regw, "shape"):
+        # 1-D is required unconditionally; the length check additionally
+        # needs a reference lane array to compare against (ADVICE r3).
+        if len(regw.shape) != 1:
+            raise ValueError(
+                f"{cls_name}: 'regw' must be a 1-D per-lane array of "
+                f"shape (B,); got {tuple(regw.shape)}"
+            )
+        if ref is not None and regw.shape[0] != ref.shape[0]:
             raise ValueError(
                 f"{cls_name}: 'regw' must have shape (B,) = "
                 f"({ref.shape[0]},); got {tuple(regw.shape)}"

@@ -7,6 +7,11 @@ plain-f32 run tripped on roundoff (VERDICT.md round 2, item 1). This
 test runs the dryrun the way the DRIVER runs it — a fresh subprocess,
 no conftest, no JAX_ENABLE_X64, 8 forced host-platform devices — so a
 red deliverable can never again hide behind a green suite.
+
+Deliberately NOT slow-marked (ADVICE r3 item 4 considered): the whole
+point is that the deliverable twin runs on EVERY smoke-tier pass, not
+only in the full tier — the conftest's documented smoke budget (~8 min
+cold) includes this test's compile time.
 """
 
 import os

@@ -135,6 +135,40 @@ def test_solver_mlp_ls_path_matches_default(setup):
     )
 
 
+def test_feat_layout_matches_scan_line_search(setup):
+    """The dense MXU layout (lanes = batch, transposed-weight
+    dot_generals; VERDICT r3 item 1) matches the scan line search."""
+    hc, model = setup
+    params = model.params
+    B, H, ds, dc, L = 4, 7, 18, 6, 5
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(rng.uniform(-0.1, 0.1, (B, ds)))
+    xs = jnp.asarray(rng.uniform(-0.2, 0.2, (B, H + 1, ds)))
+    us = jnp.asarray(rng.uniform(-0.5, 0.5, (B, H, dc)))
+    Ks = jnp.asarray(rng.uniform(-0.3, 0.3, (B, H, dc, ds)))
+    ks = jnp.asarray(rng.uniform(-0.5, 0.5, (B, H, dc)))
+    alphas = 0.2 ** jnp.arange(L, dtype=xs.dtype)
+    bounds = hc.task.get_ctrl_bounds()
+    umin, umax = bounds[:, 0], bounds[:, 1]
+
+    layers = fold_mlp_params(params, model.nonlintype)
+    want_xs, want_us = _reference_ls(
+        model, params, x0s, xs, us, Ks, ks, alphas, umin, umax
+    )
+    for precision in ("highest", "high"):
+        got_xs, got_us = pallas_mlp_line_search(
+            layers, model.nonlintype, x0s, xs, us, Ks, ks, alphas,
+            umin, umax, block_b=B, interpret=True, layout="feat",
+            precision=precision,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_us), np.asarray(want_us), rtol=1e-6, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_xs), np.asarray(want_xs), rtol=1e-6, atol=1e-7
+        )
+
+
 def test_mxu_layout_matches_scan_line_search(setup):
     hc, model = setup
     params = model.params
