@@ -235,6 +235,10 @@ def main():
         "compile_first_run_s": round(compile_s, 1),
         "bench_tier": os.environ.get("BENCH_TIER", "direct"),
         "bench_ls": os.environ.get("BENCH_LS", "fused"),
+        # False when the persistent cache was not prewarmed for this
+        # exact program (tools/prewarm_stamp.py) — a cold compile is
+        # then expected and diagnosable from the recorded JSON alone.
+        "prewarm_stamp_fresh": _prewarm_fresh(),
     }
     if os.environ.get("BENCH_QUALITY", "on") != "off":
         from autompc_tpu.control.receding import make_receding_ilqr_loop
@@ -324,6 +328,46 @@ def main():
     )
 
 
+def _prewarm_fresh():
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools")
+        )
+        from prewarm_stamp import stamp_status
+
+        fresh, _ = stamp_status()
+        return bool(fresh)
+    except Exception:
+        return False
+
+
+def _check_prewarm():
+    """Loud staleness banner (VERDICT r3 item 8): a cold driver run must
+    never silently pay the ~900s fused-solver compile again."""
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools")
+        )
+        from prewarm_stamp import stamp_status
+
+        fresh, reason = stamp_status()
+    except Exception as e:  # probe must never break the bench
+        fresh, reason = False, f"stamp probe failed: {e}"
+    if not fresh:
+        sys.stderr.write(
+            "\n" + "!" * 70 + "\n"
+            "[bench] PERSISTENT COMPILE CACHE IS NOT PREWARMED FOR THIS "
+            f"PROGRAM\n[bench]   ({reason})\n"
+            "[bench] tier 1 may pay a cold ~10-25 min compile; run\n"
+            "[bench]     python tools/prewarm_bench.py\n"
+            "[bench] after any change to the bench's traced program.\n"
+            + "!" * 70 + "\n\n"
+        )
+    return fresh
+
+
 def _watchdog():
     """The remote-compile service's latency for the dual-Pallas solver
     varies from ~2 to ~17 minutes (warm persistent cache: seconds).
@@ -343,6 +387,7 @@ def _watchdog():
     starts warm and finishes in ~1-2 min total."""
     import subprocess
 
+    _check_prewarm()
     tiers = [
         ("fused", {}, float(os.environ.get("BENCH_DEADLINE", "900"))),
         (

@@ -47,7 +47,14 @@ def main():
     if r.returncode != 0:
         print(f"[prewarm] FAILED after {dt:.0f}s (rc={r.returncode})")
         sys.exit(1)
-    print(f"[prewarm] cache warm after {dt:.0f}s; "
+    # Stamp the cache as prewarmed for THIS program (sources + resolved
+    # BENCH_* config); bench.py probes it and tests/test_prewarm_stamp.py
+    # fails until the stamp is fresh (VERDICT r3 item 8).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from prewarm_stamp import write_stamp
+
+    write_stamp()
+    print(f"[prewarm] cache warm after {dt:.0f}s; stamp written; "
           f"a fresh `python bench.py` should now start in seconds")
 
 
