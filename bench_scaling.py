@@ -72,6 +72,30 @@ def main():
         compact = parse_schedule(
             os.environ.get("SCALE_COMPACT", "4:0.5,8:0.25,14:0.125")
         )
+    elif mode_early == "joint_mlp":
+        # Per-lane full Adam runs dominate (50 epochs x max-width-128
+        # masked nets), so the candidate batch saturates earlier than
+        # the SINDy joint mode. Round-4 interleaved sweep: 256/chip
+        # 185.1 < 512 215.9/215.7 ~= 1024 218.9 evals/s; schedules
+        # barely move it (solve is ~10% of the eval) — keep the joint
+        # default cuts.
+        per_device = int(os.environ.get("SCALE_PER_DEVICE", "512"))
+        compact = parse_schedule(
+            os.environ.get("SCALE_COMPACT", "4:0.5,8:0.25,14:0.125")
+        )
+    elif mode_early == "joint_koopman":
+        # Lifted-state solves (ds = 12 with the trig basis) converge
+        # slower than plain-state SINDy solves: the aggressive joint
+        # schedule loses lanes to the overflow branch; the wider
+        # gp-mode cuts measured fastest (round-4 interleaved sweep:
+        # joint cuts 2,462 < none 2,577 < wide 2,772-2,781 evals/s at
+        # 1024/chip; 512/chip reads 2,732).
+        per_device = int(os.environ.get("SCALE_PER_DEVICE", "1024"))
+        compact = parse_schedule(
+            os.environ.get(
+                "SCALE_COMPACT", "8:0.5,16:0.25,28:0.125,40:0.0625"
+            )
+        )
     else:
         # Fixed-model full-episode sweep (round 3, interleaved two
         # passes): r2 default 1,549/1,579 -> aggressive schedule
@@ -100,6 +124,10 @@ def main():
     # cached-mean-weights predictor inside the batched iLQR closed
     # loop. The sequential GP objective measured ~0.088 evals/s; the
     # fan-out target is >10 evals/s.
+    # SCALE_MODE=joint_mlp / joint_koopman measure the remaining two
+    # joint fan-out families (VERDICT r3 item 3): per-lane masked
+    # max-width MLP Adam training / per-lane FISTA-lasso Koopman in the
+    # lifted state, each + the per-lane-model per-lane-cost iLQR loop.
     mode = os.environ.get("SCALE_MODE", "fixed")
     sindy_cfg = dict(
         method="lstsq", trig_basis=True, trig_freq=1,
@@ -162,6 +190,46 @@ def main():
                 backward=backward,
                 warm_start=bool(os.environ.get("SCALE_WARM")),
             )
+        elif mode == "joint_mlp":
+            # Joint MLP AutoML fan-out (VERDICT r3 item 3): a fresh
+            # masked max-width MLP trained per candidate (the
+            # reference's most expensive objective, sysid/mlp.py:
+            # 177-217) + per-lane-model per-lane-cost iLQR closed loop
+            # (parallel/fanout.py:JointMLPQuadCostFanout). One
+            # (n_hidden_layers, nonlintype, horizon) bucket.
+            from autompc_tpu.parallel.fanout import JointMLPQuadCostFanout
+
+            fanout = JointMLPQuadCostFanout(
+                benchmark.system, benchmark.task,
+                dict(n_hidden_layers=2, nonlintype="relu"),
+                trajs_list, model,
+                horizon=horizon, n_steps=n_steps, mesh=mesh,
+                goal=np.zeros(4),
+                compact_schedule=compact,
+                backward=backward,
+                warm_start=bool(os.environ.get("SCALE_WARM")),
+                max_width=int(os.environ.get("SCALE_MLP_WIDTH", "128")),
+                n_train_iters=int(os.environ.get("SCALE_MLP_ITERS", "50")),
+            )
+        elif mode == "joint_koopman":
+            # Joint Koopman(lasso) AutoML fan-out (VERDICT r3 item 3):
+            # per-lane FISTA lasso over the staged lifted data matrices
+            # + batched iLQR in the LIFTED state (ds = lifted dim;
+            # parallel/fanout.py:JointKoopmanLassoQuadCostFanout).
+            from autompc_tpu.parallel.fanout import (
+                JointKoopmanLassoQuadCostFanout,
+            )
+
+            fanout = JointKoopmanLassoQuadCostFanout(
+                benchmark.system, benchmark.task,
+                dict(trig_basis=True, trig_freq=1),
+                trajs_list, model,
+                horizon=horizon, n_steps=n_steps, mesh=mesh,
+                goal=np.zeros(4),
+                compact_schedule=compact,
+                backward=backward,
+                warm_start=bool(os.environ.get("SCALE_WARM")),
+            )
         else:
             fanout = QuadCostFanout(
                 benchmark.system, benchmark.task, model, model,
@@ -183,6 +251,20 @@ def main():
         }
         if mode == "joint":
             batch["reg"] = jnp.asarray(10 ** rng.uniform(-4, -1, B))
+        elif mode == "joint_koopman":
+            # Lasso alphas (reference space 1e-10..1e2, koopman.py:61).
+            batch["reg"] = jnp.asarray(10 ** rng.uniform(-6, 0, B))
+        elif mode == "joint_mlp":
+            # Hidden widths sampled per candidate (the reference MLP
+            # space's hidden_size_k, sysid/mlp.py:123-128), lr
+            # log-uniform — the joint_mlp bucket key holds depth +
+            # nonlinearity fixed.
+            wchoices = [32, 64, 128]
+            batch["widths"] = tuple(
+                (int(rng.choice(wchoices)), int(rng.choice(wchoices)))
+                for _ in range(B)
+            )
+            batch["lr"] = jnp.asarray(10 ** rng.uniform(-4, -2, B))
         out = fanout(batch)  # compile + warmup
         jax.block_until_ready(out)
         reps = 3
@@ -199,6 +281,10 @@ def main():
                     "metric": (
                         "joint_automl_evals_per_s" if mode == "joint"
                         else "gp_candidate_evals_per_s" if mode == "gp"
+                        else "joint_mlp_automl_evals_per_s"
+                        if mode == "joint_mlp"
+                        else "joint_koopman_automl_evals_per_s"
+                        if mode == "joint_koopman"
                         else "surrogate_closed_loop_evals_per_s"
                     ),
                     "n_devices": n_dev,
