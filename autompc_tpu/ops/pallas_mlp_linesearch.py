@@ -206,6 +206,80 @@ def _mlp_ls_kernel_feat(ds, dc, L, widths, nonlin, precision,
         out_us_ref[0, l] = u
 
 
+def _mlp_ls_kernel_feat3(ds, dc, L, widths, nonlin,
+                         x0_ref, xs_ref, us_ref, Ks_ref, ks_ref,
+                         alphas_ref, umin_ref, umax_ref, *refs):
+    """bf16x3 variant of the feat kernel: Mosaic's dot_general lowers
+    only DEFAULT and HIGHEST precisions, so the 3-pass f32 emulation
+    (hi*hi + hi*lo + lo*hi, dropping the ~2^-16-scaled lo*lo term) is
+    spelled out with bf16 operands and f32 accumulation — half the MXU
+    passes of HIGHEST at ~2^-21 relative matmul error (vs bf16's 2^-8).
+    Weight hi/lo splits are precomputed by the driver; activations
+    split in-kernel (two cheap VPU ops per layer).
+
+    Weight refs: W1x_hi, W1x_lo, W1u_hi, W1u_lo, b1, then
+    (W_hi, W_lo, b) per remaining layer. Everything else matches
+    _mlp_ls_kernel_feat."""
+    n_layers = len(widths) - 1
+    n_w = 5 + 3 * (n_layers - 1)
+    w_refs = refs[:n_w]
+    out_xs_ref, out_us_ref = refs[n_w: n_w + 2]
+    x_s = refs[n_w + 2]
+    act = _ACT[nonlin]
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _init():
+        for l in range(L):
+            x_s[l] = x0_ref[...]
+
+    xbar = xs_ref[0]
+    ubar = us_ref[0]
+    kvec = ks_ref[0]
+    K = Ks_ref[0]
+
+    def d(A, B):
+        return jax.lax.dot_general(
+            A, B, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    def mm3(Whi, Wlo, z):
+        z_hi = z.astype(jnp.bfloat16)
+        z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return d(Whi, z_hi) + (d(Whi, z_lo) + d(Wlo, z_hi))
+
+    for l in range(L):
+        x = x_s[l]
+        alpha = alphas_ref[l, 0]
+        dx = x - xbar
+        u_rows = []
+        for j in range(dc):
+            fb = jnp.sum(K[j] * dx, axis=0, keepdims=True)
+            u_j = alpha * kvec[j][None, :] + ubar[j][None, :] + fb
+            u_rows.append(jnp.clip(u_j, umin_ref[j, 0], umax_ref[j, 0]))
+        u = jnp.concatenate(u_rows, axis=0)
+
+        a = (
+            mm3(w_refs[0][...], w_refs[1][...], x)
+            + mm3(w_refs[2][...], w_refs[3][...], u)
+            + w_refs[4][...]
+        )
+        h = a if n_layers == 1 else act(a)
+        for li in range(1, n_layers):
+            base = 5 + 3 * (li - 1)
+            a = mm3(
+                w_refs[base][...], w_refs[base + 1][...], h
+            ) + w_refs[base + 2][...]
+            h = a if li == n_layers - 1 else act(a)
+        x_new = x + h
+
+        x_s[l] = x_new
+        out_xs_ref[0, l] = x_new
+        out_us_ref[0, l] = u
+
+
 def _mlp_ls_kernel_mxu(ds, dc, L, widths, nonlin, precision,
                        x0_ref, xs_ref, us_ref, Ks_ref, ks_ref,
                        alphar_ref, umin_ref, umax_ref, *refs):
@@ -313,7 +387,8 @@ def pallas_mlp_line_search(
         data movement + transposed-weight MXU matmuls; the dense
         honest-f32 option, VERDICT r3 item 1)
     precision : matmul precision for the mxu/feat layouts — "highest"
-        (6-pass f32) or "high" (3-pass)
+        (6-pass f32), "default" (single bf16 pass), or "bf16x3" (feat
+        only: manual 3-pass f32 emulation, ~2^-21 rel matmul error)
 
     Returns (ls_xs (B, L, H+1, ds), ls_us (B, L, H, dc)), matching
     ``jax.vmap(line_search_one)`` (control/ilqr.py) up to f32
@@ -332,10 +407,14 @@ def pallas_mlp_line_search(
             f"MLP output width {widths[-1]} != state dim {ds}"
         )
 
+    # Mosaic lowers only DEFAULT and HIGHEST dot precisions; "bf16x3"
+    # (feat layout only) is a manual 3-pass f32 emulation in-kernel.
+    if precision == "bf16x3" and layout != "feat":
+        raise ValueError("precision='bf16x3' requires layout='feat'")
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
+        "bf16x3": jax.lax.Precision.HIGHEST,  # unused by feat3 kernel
     }[precision]
     if layout == "mxu":
         return _mlp_line_search_mxu(
@@ -370,17 +449,35 @@ def pallas_mlp_line_search(
         # in-kernel), biases as (n_out, 1) lane-broadcast columns, all
         # in VMEM (they feed dot_general).
         W1, b1 = layers[0]
-        w_ins = [
-            W1[:ds].astype(xs.dtype), W1[ds:].astype(xs.dtype),
-            b1.astype(xs.dtype).reshape(-1, 1),
-        ]
-        for W, b in layers[1:]:
-            w_ins.append(W.astype(xs.dtype))
-            w_ins.append(b.astype(xs.dtype).reshape(-1, 1))
+
+        def hi_lo(W):
+            Whi = W.astype(jnp.bfloat16)
+            return Whi, (W - Whi.astype(W.dtype)).astype(jnp.bfloat16)
+
+        if precision == "bf16x3":
+            w_ins = [
+                *hi_lo(W1[:ds].astype(xs.dtype)),
+                *hi_lo(W1[ds:].astype(xs.dtype)),
+                b1.astype(xs.dtype).reshape(-1, 1),
+            ]
+            for W, b in layers[1:]:
+                w_ins.extend(hi_lo(W.astype(xs.dtype)))
+                w_ins.append(b.astype(xs.dtype).reshape(-1, 1))
+            kernel = functools.partial(
+                _mlp_ls_kernel_feat3, ds, dc, L, widths, nonlin
+            )
+        else:
+            w_ins = [
+                W1[:ds].astype(xs.dtype), W1[ds:].astype(xs.dtype),
+                b1.astype(xs.dtype).reshape(-1, 1),
+            ]
+            for W, b in layers[1:]:
+                w_ins.append(W.astype(xs.dtype))
+                w_ins.append(b.astype(xs.dtype).reshape(-1, 1))
+            kernel = functools.partial(
+                _mlp_ls_kernel_feat, ds, dc, L, widths, nonlin, prec
+            )
         w_specs = [wspec(w.shape) for w in w_ins]
-        kernel = functools.partial(
-            _mlp_ls_kernel_feat, ds, dc, L, widths, nonlin, prec
-        )
     else:
         for W, b in layers:
             w_ins.append(W.astype(xs.dtype))

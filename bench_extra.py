@@ -380,6 +380,95 @@ def main():
         }
     )
 
+    # --- cheetah closed-loop quality A/B + gate (VERDICT r3 item 1) --
+    # The throughput default rides bf16 MXU matmuls (94.6% open-loop
+    # converged vs 99.8-100% for honest f32). Whether that costs
+    # anything in TASK metric was asserted, never measured: run the
+    # SAME receding-horizon closed loop (MLP controller model, TRUE
+    # planar-multibody cheetah plant, identical lanes) traced under
+    # default (bf16) and forced-f32 matmul precision, and gate on the
+    # relative difference in mean closed-loop task cost.
+    if os.environ.get("BENCH_HC_QUALITY", "on") != "off":
+        from autompc_tpu.control.receding import make_receding_ilqr_loop
+
+        hcq_B = int(os.environ.get("BENCH_HC_QUALITY_B", "32"))
+        hcq_steps = int(os.environ.get("BENCH_HC_QUALITY_STEPS", "200"))
+        loop_kw = dict(
+            H=20, ds=18, dc=6, obsdim=18, dt=hc.system.dt,
+            n_steps=hcq_steps,
+            ubounds=(hc_bounds[:, 0], hc_bounds[:, 1]),
+            max_iter=20,
+            pred_diff=hc_model.pred_diff_core,
+        )
+        run_bf16 = jax.jit(make_receding_ilqr_loop(
+            hc_model.pred_core, hc_cost, hc.dynamics, **loop_kw
+        ))
+        inner_loop = make_receding_ilqr_loop(
+            hc_model.pred_core, hc_cost, hc.dynamics, **loop_kw
+        )
+
+        def run_f32(p, x0s, _inner=inner_loop):
+            # default_matmul_precision must wrap TRACING.
+            with jax.default_matmul_precision("highest"):
+                return _inner(p, x0s)
+
+        run_f32 = jax.jit(run_f32)
+        rng_q = np.random.default_rng(7)
+        x0q = jnp.asarray(
+            np.asarray(hc.task.get_init_obs())[None, :]
+            + rng_q.uniform(-0.05, 0.05, (hcq_B, 18)),
+            dtype=jnp.float32,
+        )
+
+        def episode_stats(run):
+            xs_cl, us_cl, nconv = run(hc_model.params, x0q)
+            xs_np, us_np = np.asarray(xs_cl), np.asarray(us_cl)
+            # Synthesis-cost metric along the true-dynamics trajectory.
+            task_cost = (
+                np.sum(xs_np[:, :-1] ** 2, axis=(1, 2))
+                + 0.01 * np.sum(us_np**2, axis=(1, 2))
+                + np.sum(xs_np[:, -1] ** 2, axis=1)
+            )
+            # Benchmark metric 200 - R (telescoped run reward).
+            metric = 200.0 - (
+                -0.1 * np.sum(us_np**2, axis=(1, 2))
+                + (xs_np[:, -1, 0] - xs_np[:, 0, 0]) / hc.system.dt
+            )
+            return (
+                float(task_cost.mean()), float(metric.mean()),
+                float(np.asarray(nconv).mean() / hcq_steps),
+            )
+
+        t0 = time.perf_counter()
+        cost_b, metric_b, conv_b = episode_stats(run_bf16)
+        cost_f, metric_f, conv_f = episode_stats(run_f32)
+        tol = float(os.environ.get("BENCH_HC_QUALITY_TOL", "0.05"))
+        rel = abs(cost_b - cost_f) / max(abs(cost_f), 1e-9)
+        results.append(
+            {
+                "metric": "halfcheetah_closed_loop_quality_ab",
+                "lanes": hcq_B, "mpc_steps": hcq_steps,
+                "task_cost_bf16": round(cost_b, 2),
+                "task_cost_f32": round(cost_f, 2),
+                "metric_200mR_bf16": round(metric_b, 2),
+                "metric_200mR_f32": round(metric_f, 2),
+                "solver_converged_frac_bf16": round(conv_b, 4),
+                "solver_converged_frac_f32": round(conv_f, 4),
+                "rel_task_cost_diff": round(rel, 4),
+                "gate_tol": tol,
+                "quality_gate_pass": bool(rel <= tol),
+                "value": round(rel, 4),
+                "unit": "rel diff",
+            }
+        )
+        print(
+            f"[bench_extra] cheetah closed-loop A/B "
+            f"({time.perf_counter() - t0:.1f}s): task cost bf16 "
+            f"{cost_b:.1f} vs f32 {cost_f:.1f} (rel {rel:.4f}, "
+            f"gate {'PASS' if rel <= tol else 'FAIL'})",
+            file=sys.stderr,
+        )
+
     # --- model-tuning throughput: bucketed ARX candidate scoring ----
     # (replaces SMAC's one-candidate-at-a-time model tuner; every
     # history candidate trains + scores in one device program,

@@ -155,17 +155,25 @@ def test_feat_layout_matches_scan_line_search(setup):
     want_xs, want_us = _reference_ls(
         model, params, x0s, xs, us, Ks, ks, alphas, umin, umax
     )
-    for precision in ("highest", "high"):
+    # bf16x3 emulates f32 (~2 bf16 mantissas ~= 16 bits); against the
+    # x64 reference the 7-step recursion lands at ~1e-3 max rel on a
+    # handful of small elements — three decades tighter than plain
+    # bf16 (~1e-0..1e-2 here). Convergence-grade accuracy is judged by
+    # the TPU A/B (tools/ab_cheetah_ls.py), not this tolerance.
+    for precision, rtol, atol in (
+        ("highest", 1e-6, 1e-8), ("bf16x3", 2e-3, 1e-4),
+    ):
         got_xs, got_us = pallas_mlp_line_search(
             layers, model.nonlintype, x0s, xs, us, Ks, ks, alphas,
             umin, umax, block_b=B, interpret=True, layout="feat",
             precision=precision,
         )
         np.testing.assert_allclose(
-            np.asarray(got_us), np.asarray(want_us), rtol=1e-6, atol=1e-8
+            np.asarray(got_us), np.asarray(want_us), rtol=rtol, atol=atol
         )
         np.testing.assert_allclose(
-            np.asarray(got_xs), np.asarray(want_xs), rtol=1e-6, atol=1e-7
+            np.asarray(got_xs), np.asarray(want_xs), rtol=rtol,
+            atol=max(atol, 1e-7)
         )
 
 
