@@ -411,7 +411,11 @@ class PipelineTuner:
             elif kind == "joint_arx":
                 key = (int(mk(cfg, "history", 4)), int(horizon))
             elif kind == "joint_gp":
-                key = (int(mk(cfg, "induce_count", 100)), int(horizon))
+                # induce_count no longer buckets: every distinct value
+                # trains in ONE batched padded program and the closed
+                # loop carries per-lane GP params
+                # (parallel/fanout.py:JointGPQuadCostFanout).
+                key = int(horizon)
             else:
                 key = int(horizon)
             buckets.setdefault(key, []).append(idx)
@@ -523,25 +527,23 @@ class PipelineTuner:
                         **common,
                     )
                 elif kind == "joint_gp":
-                    # One shared SVGP per induce_count bucket (the only
-                    # GP hyperparameter IS the bucket key; same data +
-                    # same seed means the reference's per-candidate
-                    # training would produce this exact model), then
-                    # the fixed-model fan-out with the cached-mean-
-                    # weights predictor (sysid/gp.py ``params["w"]``).
-                    from ..sysid.gp import ApproximateGPModel
+                    # All distinct induce_counts train in ONE batched
+                    # padded program (sysid/gp.py:train_svgp_buckets —
+                    # exact no-op padding, so each bucket equals the
+                    # reference's per-candidate training with the same
+                    # data + seed) and the closed loop runs per-lane
+                    # cached-mean-weights predictors.
+                    from ..parallel.fanout import JointGPQuadCostFanout
 
-                    gp = ApproximateGPModel(
-                        system, induce_count=key[0],
-                        niter=int(m_over.get("niter", 5)),
-                        lr=float(m_over.get("lr", 0.1)),
-                        batch_size=int(m_over.get("batch_size", 1024)),
-                        seed=int(m_over.get("seed", 100)),
-                    )
-                    gp.train(sysid_trajs)
-                    fanouts[key] = QuadCostFanout(
-                        system, task, gp, surrogate,
-                        horizon=key[1],
+                    fanouts[key] = JointGPQuadCostFanout(
+                        system, task,
+                        dict(
+                            niter=int(m_over.get("niter", 5)),
+                            lr=float(m_over.get("lr", 0.1)),
+                            batch_size=int(m_over.get("batch_size", 1024)),
+                            seed=int(m_over.get("seed", 100)),
+                        ),
+                        sysid_trajs, surrogate, horizon=key,
                         compact_schedule=self.fanout_compact,
                         warm_start=self.fanout_warm_start,
                         backward=self.fanout_backward,
@@ -606,6 +608,10 @@ class PipelineTuner:
             elif kind == "joint_koopman" and key[0] == "lasso":
                 batch["reg"] = jnp.asarray(
                     [float(mk(cfgs[i], "lasso_alpha", 1.0)) for i in idxs]
+                )
+            elif kind == "joint_gp":
+                batch["induce_count"] = np.array(
+                    [int(mk(cfgs[i], "induce_count", 100)) for i in idxs]
                 )
             elif kind == "joint_mlp":
                 L = key[0]

@@ -83,6 +83,16 @@ def main():
         compact = parse_schedule(
             os.environ.get("SCALE_COMPACT", "4:0.5,8:0.25,14:0.125")
         )
+    elif mode_early == "joint_gp":
+        # Mixed-induce_count GP batches (the wide-sweep scenario that
+        # round-3's per-bucket host loop degraded on): per-lane padded
+        # GP predictor params, gp-mode compaction cuts.
+        per_device = int(os.environ.get("SCALE_PER_DEVICE", "512"))
+        compact = parse_schedule(
+            os.environ.get(
+                "SCALE_COMPACT", "8:0.5,16:0.25,28:0.125,40:0.0625"
+            )
+        )
     elif mode_early == "joint_koopman":
         # Lifted-state solves (ds = 12 with the trig basis) converge
         # slower than plain-state SINDy solves: the aggressive joint
@@ -190,6 +200,24 @@ def main():
                 backward=backward,
                 warm_start=bool(os.environ.get("SCALE_WARM")),
             )
+        elif mode == "joint_gp":
+            # Joint GP fan-out with MIXED induce_counts per batch
+            # (parallel/fanout.py:JointGPQuadCostFanout): all distinct
+            # values train in one padded program; the closed loop runs
+            # per-lane cached-mean predictors. SCALE_GP_DISTINCT sets
+            # how many distinct induce_counts each batch mixes.
+            from autompc_tpu.parallel.fanout import JointGPQuadCostFanout
+
+            fanout = JointGPQuadCostFanout(
+                benchmark.system, benchmark.task,
+                dict(niter=int(os.environ.get("SCALE_GP_ITERS", "5"))),
+                trajs_list, model,
+                horizon=horizon, n_steps=n_steps, mesh=mesh,
+                goal=np.zeros(4),
+                compact_schedule=compact,
+                backward=backward,
+                warm_start=bool(os.environ.get("SCALE_WARM")),
+            )
         elif mode == "joint_mlp":
             # Joint MLP AutoML fan-out (VERDICT r3 item 3): a fresh
             # masked max-width MLP trained per candidate (the
@@ -254,6 +282,10 @@ def main():
         elif mode == "joint_koopman":
             # Lasso alphas (reference space 1e-10..1e2, koopman.py:61).
             batch["reg"] = jnp.asarray(10 ** rng.uniform(-6, 0, B))
+        elif mode == "joint_gp":
+            n_distinct = int(os.environ.get("SCALE_GP_DISTINCT", "16"))
+            choices = np.linspace(50, 200, n_distinct).astype(int)
+            batch["induce_count"] = rng.choice(choices, size=B)
         elif mode == "joint_mlp":
             # Hidden widths sampled per candidate (the reference MLP
             # space's hidden_size_k, sysid/mlp.py:123-128), lr
@@ -281,6 +313,8 @@ def main():
                     "metric": (
                         "joint_automl_evals_per_s" if mode == "joint"
                         else "gp_candidate_evals_per_s" if mode == "gp"
+                        else "joint_gp_mixed_bucket_evals_per_s"
+                        if mode == "joint_gp"
                         else "joint_mlp_automl_evals_per_s"
                         if mode == "joint_mlp"
                         else "joint_koopman_automl_evals_per_s"

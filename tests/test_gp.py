@@ -110,3 +110,76 @@ class TestApproximateGP:
         np.testing.assert_allclose(
             np.asarray(fast), np.asarray(full), rtol=1e-9, atol=1e-10
         )
+
+
+class TestBucketedSVGPTraining:
+    """Cross-bucket batched SVGP training (sysid/gp.py:
+    train_svgp_buckets): every distinct induce_count trains in ONE
+    program at a padded shape; padding must be an EXACT no-op."""
+
+    def test_padded_training_matches_standalone(self, benchmark):
+        from autompc_tpu.sysid.gp import (
+            gp_pred_core_cached,
+            train_svgp_buckets,
+        )
+
+        trajs = benchmark.gen_trajs_batch(seed=7, n_trajs=10, traj_len=30)
+        tlist = trajs.to_list()
+        Ms = [12, 20]
+        params_b, w_b, norm = train_svgp_buckets(
+            benchmark.system, tlist, Ms, niter=3, lr=0.05,
+            batch_size=64, seed=100, pad_to=24,
+        )
+        rng = np.random.default_rng(0)
+        states = jnp.asarray(rng.uniform(-1, 1, (16, 4)))
+        ctrls = jnp.asarray(rng.uniform(-1, 1, (16, 1)))
+        for k, M in enumerate(Ms):
+            solo = ApproximateGPModel(
+                benchmark.system, niter=3, lr=0.05, batch_size=64,
+                induce_count=M, seed=100,
+            )
+            solo.train(tlist)
+            sp = solo._params
+            bp = jax.tree_util.tree_map(lambda a: a[k], params_b)
+            # Real parameter rows must match the standalone training
+            # trajectory (same init, same PRNG chain, exact-zero
+            # padding gradients).
+            np.testing.assert_allclose(
+                np.asarray(bp["Z"][:, :M]), np.asarray(sp["Z"]),
+                rtol=1e-7, atol=1e-9,
+            )
+            np.testing.assert_allclose(
+                np.asarray(bp["m"][:, :M]), np.asarray(sp["m"]),
+                rtol=1e-7, atol=1e-9,
+            )
+            np.testing.assert_allclose(
+                np.asarray(bp["Ls"][:, :M, :M]), np.asarray(sp["Ls"]),
+                rtol=1e-7, atol=1e-9,
+            )
+            for key in ("log_lengthscale", "log_outputscale",
+                        "log_noise", "mean_const"):
+                np.testing.assert_allclose(
+                    np.asarray(bp[key]), np.asarray(sp[key]),
+                    rtol=1e-7, atol=1e-9, err_msg=key,
+                )
+            # Dummy rows must be exact no-ops in the cached predictor.
+            lane_params = {"gp": bp, "w": w_b[k], **norm}
+            got = jax.vmap(
+                lambda s, u: gp_pred_core_cached(lane_params, s, u)
+            )(states, ctrls)
+            want = jax.vmap(
+                lambda s, u: solo.pred_core(solo.params, s, u)
+            )(states, ctrls)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-7, atol=1e-9
+            )
+
+    def test_padded_weights_are_zero_on_dummies(self, benchmark):
+        from autompc_tpu.sysid.gp import train_svgp_buckets
+
+        trajs = benchmark.gen_trajs_batch(seed=7, n_trajs=6, traj_len=20)
+        params_b, w_b, _ = train_svgp_buckets(
+            benchmark.system, trajs.to_list(), [8], niter=2,
+            batch_size=32, pad_to=16,
+        )
+        np.testing.assert_allclose(np.asarray(w_b[0][:, 8:]), 0.0)
