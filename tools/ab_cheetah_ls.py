@@ -19,8 +19,8 @@ Usage:
     AB_B=1024 AB_ROUNDS=4 AB_SCHED=... AB_FEAT_BLOCK=256 ...
 
 Variants: scan (bf16 default), scan-highest (forced-f32 XLA),
-mxu-highest / mxu-high (round-3 kernel), feat-highest / feat-high
-(round-4 dense layout), slab.
+mxu-highest (round-3 kernel), feat-highest / feat-bf16x3 (round-4
+dense layout; bf16x3 = manual 3-pass f32 emulation), slab.
 """
 
 import json
@@ -109,7 +109,7 @@ def main():
         ))
 
     names = os.environ.get(
-        "AB_VARIANTS", "scan,feat-highest,feat-high,mxu-highest"
+        "AB_VARIANTS", "scan,feat-highest,feat-bf16x3,mxu-highest"
     ).split(",")
     solvers = {}
     for name in names:

@@ -86,7 +86,14 @@ def main():
         gbs = bytes_ / per / 1e9
         comp_frac = (flops / peak_comp) / per
         bw_frac = (bytes_ / PEAK_HBM) / per
-        bound = "HBM-BW" if bw_frac >= comp_frac else engine
+        # When neither roofline is within reach the kernel is bound by
+        # something the flops/bytes model can't see — here, always the
+        # serial H recursion (tiny per-step tiles, per-step latency
+        # dominates). Say so instead of naming the larger tiny fraction.
+        if max(comp_frac, bw_frac) < 0.15:
+            bound = "serial-H latency"
+        else:
+            bound = "HBM-BW" if bw_frac >= comp_frac else engine
         row = {
             "kernel": name,
             "time_ms": round(per * 1e3, 3),
@@ -106,12 +113,16 @@ def main():
         "ROOFLINE_KERNELS",
         "backward_quad,backward_general,fused_ls,relin,mlp_feat,mlp_mxu",
     ).split(",")
+    # Batch for the cartpole-shape kernels (backward_quad, fused_ls,
+    # relin). The headline program runs B=65536; at 4096 the serial-H
+    # latency dominates and the roofline question is moot.
+    RB = int(os.environ.get("ROOFLINE_B", "4096"))
 
     # ---- backward_quad: cartpole bench shape ------------------------
     if "backward_quad" in want:
         from autompc_tpu.ops.pallas_riccati import pallas_tvlqr_backward_quad
 
-        B, H, ds = 4096, 200, 4
+        B, H, ds = RB, 200, 4
         Jx = jnp.asarray(rng.normal(0, 0.1, (B, H, ds, ds)), jnp.float32)
         Ju = jnp.asarray(rng.normal(0, 0.1, (B, H, ds, 1)), jnp.float32)
         xs = jnp.asarray(rng.normal(0, 1, (B, H + 1, ds)), jnp.float32)
@@ -136,7 +147,7 @@ def main():
             + 3 * padded_elems(ds, B)
             + padded_elems(H, ds, B) + padded_elems(H, B)
         )
-        run_case("backward_quad B4096 H200", fn, ins, flops, bytes_,
+        run_case(f"backward_quad B{B} H200", fn, ins, flops, bytes_,
                  "VPU-f32", PEAK_VPU_F32)
 
     # ---- backward_general: cheetah bench shape ----------------------
@@ -205,7 +216,7 @@ def main():
         fns_a = tuple(model.library._fns[int(i)] for i in live)
         gts_a = tuple(model.library.grad_terms[int(i)] for i in live)
         coeffs = jnp.asarray(model.coeffs)[:, live]
-        B, H, ds, dc, L, F = 4096, 200, 4, 1, 10, len(live)
+        B, H, ds, dc, L, F = RB, 200, 4, 1, 10, len(live)
         x0 = jnp.asarray(rng.uniform(-1, 1, (B, ds)), jnp.float32)
         xs = jnp.asarray(rng.uniform(-1, 1, (B, H + 1, ds)), jnp.float32)
         us = jnp.asarray(rng.uniform(-1, 1, (B, H, dc)), jnp.float32)
@@ -236,7 +247,7 @@ def main():
             + padded_elems(H + 1, ds, B)            # out_xs
             + 2 * padded_elems(H, ds, ds, B)        # fused Jx out (+Ju)
         )
-        run_case(f"fused_ls B4096 H200 F{F}", fn, ins, flops, bytes_,
+        run_case(f"fused_ls B{B} H200 F{F}", fn, ins, flops, bytes_,
                  "VPU-f32", PEAK_VPU_F32)
 
         # ---- relin kernel at the same model -------------------------
@@ -256,7 +267,7 @@ def main():
                 + padded_elems(H, ds, ds, B)
                 + padded_elems(H, ds, dc, B)
             )
-            run_case(f"relin B4096 H200 F{F}", fnr, insr, flops_r,
+            run_case(f"relin B{B} H200 F{F}", fnr, insr, flops_r,
                      bytes_r, "VPU-f32", PEAK_VPU_F32)
 
     # ---- MLP line-search kernels: cheetah shape ---------------------
@@ -289,7 +300,7 @@ def main():
         )
         flops = B * L * H * (mlp_flops + 2 * ds * dc + 4 * dc)
         for lay, prec, passes in (
-            ("feat", "highest", 6), ("feat", "high", 3),
+            ("feat", "highest", 6), ("feat", "bf16x3", 3),
             ("mxu", "highest", 6),
         ):
             key = f"mlp_{lay}"
