@@ -262,6 +262,8 @@ def make_batched_ilqr_solver(
     reg_goal=None,
     pred_diff=None,
     mlp_ls=None,
+    lanes_last: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
     (B,H,dc)) -> (converged (B,), xs, us, Ks, ks)``.
@@ -375,6 +377,22 @@ def make_batched_ilqr_solver(
     ``block_b``: batch lanes per Pallas kernel program (both the
     backward-pass and line-search kernels); must divide the batch or
     equal it.
+
+    ``lanes_last=True`` (round 4): keep the ENTIRE iteration carry in
+    the kernels' native lanes-last layout — xs (H+1, ds, B), us (H, B),
+    gains (H, ds, B)/(H, B), and the dynamics Jacobians as ONE packed
+    sublane-dense plane jac_p (H, ds*(ds+1), B) that flows from the
+    fused line-search kernel's relinearization output straight into
+    the backward kernel. The batch-major wrappers relayout every one of
+    those arrays TWICE per iteration ((B,H,...) <-> (H,...,B) HBM
+    round-trips that rival the kernels' own streams at headline batch
+    sizes); this mode performs one pack at solve entry and one unpack
+    at exit instead. Requires the fully-fused dc=1 diagonal-quadratic
+    path: ``fuse_ls`` + a ``feature_spec`` whose library has
+    ``grad_terms`` + the diagonal-cost backward (fixed diagonal
+    QuadCost or ``quad_cost_batch``) + ``relin`` != "xla". Public
+    solve/cost_params contracts are unchanged (batch-major at the
+    boundary).
     """
     if ubounds is not None:
         umin = jnp.asarray(ubounds[0])
@@ -473,6 +491,28 @@ def make_batched_ilqr_solver(
                 )
         quad_backward = fixed_diag is not None
 
+    if lanes_last:
+        lib_gts = (
+            getattr(feature_spec[0], "grad_terms", None)
+            if feature_spec is not None else None
+        )
+        if not (
+            quad_backward and fuse_ls and use_pallas_relin
+            and feature_spec is not None and dc == 1
+            and lib_gts is not None and mlp_ls is None
+        ):
+            raise ValueError(
+                "lanes_last=True requires the fully-fused dc=1 "
+                "diagonal-quadratic path: fuse_ls=True, a feature_spec "
+                "whose library has grad_terms, relin != 'xla', and a "
+                "diagonal quadratic cost (fixed QuadCost or "
+                "quad_cost_batch); got "
+                f"quad_backward={quad_backward}, fuse_ls={fuse_ls}, "
+                f"relin_pallas={use_pallas_relin}, dc={dc}, "
+                f"grad_terms={'yes' if lib_gts is not None else 'no'}, "
+                f"mlp_ls={'set' if mlp_ls is not None else 'None'}"
+            )
+
     def relinearize_batch(params, xs, us):
         """(B, H+1, ds), (B, H, dc) -> Jx (B, H, ds, ds), Ju
         (B, H, ds, dc) at the first H points of every lane."""
@@ -495,6 +535,7 @@ def make_batched_ilqr_solver(
                 fns_a, xs, us, sel(params[coeffs_key]),
                 grad_terms=gts_a,
                 block_b=TB,
+                interpret=pallas_interpret,
             )
         return jax.vmap(relinearize_one, in_axes=(p_ax, 0, 0))(
             params, xs, us
@@ -672,6 +713,31 @@ def make_batched_ilqr_solver(
                 params, x0s, uguess
             )
         obj0 = jax.vmap(eval_obj_one)(xs0, uguess, cp)
+        if lanes_last:
+            # One-time pack into the kernels' native lanes-last layout
+            # (see the lanes_last doc above); the jac plane is the
+            # packed sublane-dense row layout both Pallas kernels
+            # speak (rows k*(ds+1)+j).
+            jac0 = jnp.concatenate([Jx0, Ju0], axis=-1)    # (B,H,ds,d)
+            jac_p = jnp.transpose(jac0, (1, 2, 3, 0)).reshape(
+                H, ds * (ds + 1), B
+            )
+            cpT = {
+                k: (v.T if getattr(v, "ndim", 0) == 2 else v)
+                for k, v in cp.items()
+            }
+            return dict(
+                x0s=jnp.transpose(x0s, (1, 0)), cost=cpT,
+                **({"params": params} if batch_params else {}),
+                xs=jnp.transpose(xs0, (1, 2, 0)),
+                us=jnp.transpose(uguess[:, :, 0], (1, 0)),
+                jac=jac_p, obj=obj0,
+                Ks=jnp.zeros((H, ds, B)), ks=jnp.zeros((H, B)),
+                itr=jnp.array(0),
+                converged=jnp.zeros(B, dtype=bool),
+                failed=jnp.zeros(B, dtype=bool),
+                done_itr=jnp.zeros(B, dtype=jnp.int32),
+            )
         return dict(
             x0s=x0s, cost=cp,
             **({"params": params} if batch_params else {}),
@@ -687,7 +753,110 @@ def make_batched_ilqr_solver(
         active = ~c["converged"] & ~c["failed"]
         return (c["itr"] < max_iter) & jnp.any(active)
 
+    def make_body_ll(params):
+        """Lanes-last iteration: backward and fused line search speak
+        the packed lanes-last layouts natively — no per-iteration
+        relayouts (see the ``lanes_last`` doc)."""
+        from ..ops.pallas_linesearch import pallas_fused_line_search
+        from ..ops.pallas_riccati import pallas_tvlqr_backward_quad_ll
+
+        library, coeffs_key = feature_spec
+        fns_a, gts_a, sel_cols = _active_terms(library)
+
+        def body(c):
+            x0T = c["x0s"]                      # (ds, B)
+            B = x0T.shape[-1]
+            xsT, usT = c["xs"], c["us"]         # (H+1, ds, B), (H, B)
+            cp = c["cost"]
+            pp = c["params"] if batch_params else params
+            active = ~c["converged"] & ~c["failed"]
+
+            if quad_cost_batch:
+                QdT, RdT, FdT = cp["Qdiag"], cp["Rdiag"], cp["Fdiag"]
+                goal_q = (
+                    jnp.zeros(obsdim) if quad_goal is None
+                    else jnp.asarray(quad_goal)
+                )
+            else:
+                qdf, rdf, fdf, goal_q = fixed_diag
+                QdT = jnp.broadcast_to(qdf[:, None], (obsdim, B))
+                RdT = jnp.broadcast_to(rdf[:, None], (dc, B))
+                FdT = jnp.broadcast_to(fdf[:, None], (obsdim, B))
+            TB = min(block_b, B)
+            KsT, ksT, lin_red, quad_red = pallas_tvlqr_backward_quad_ll(
+                c["jac"], xsT, usT, QdT, RdT, FdT, goal_q, dt, obsdim,
+                block_b=TB if B % TB == 0 else B,
+                interpret=pallas_interpret,
+            )
+            ks_small = jnp.sqrt(jnp.sum(ksT**2, axis=0)) < u_threshold
+
+            ls_umin = (
+                umin if ubounds is not None else jnp.full((dc,), -jnp.inf)
+            )
+            ls_umax = (
+                umax if ubounds is not None else jnp.full((dc,), jnp.inf)
+            )
+            coeffs = sel_cols(pp[coeffs_key])
+            if coeffs.ndim == 3:
+                coeffs = jnp.transpose(coeffs, (1, 2, 0))
+            if quad_cost_batch:
+                cost_args = (QdT, RdT, FdT, goal_q)
+                per_lane = True
+            else:
+                cost_args = (cost._Q, cost._R, cost._F, cost._goal)
+                per_lane = False
+            (new_xsT, new_usT, new_obj, ls_success, failed_now,
+             jac_lin) = pallas_fused_line_search(
+                fns_a, x0T, xsT, usT, KsT, ksT,
+                coeffs, alphas, ls_umin, ls_umax,
+                *cost_args, dt,
+                c["obj"], lin_red, quad_red, ks_small,
+                grad_terms=gts_a,
+                ls_cost_threshold=ls_cost_threshold,
+                block_b=TB if B % TB == 0 else B,
+                per_lane_diag_cost=per_lane,
+                ll_io=True,
+                interpret=pallas_interpret,
+            )
+
+            jac_new = jnp.where(
+                ls_success[None, None, :], jac_lin, c["jac"]
+            )
+            du_norm = jnp.sqrt(jnp.sum((new_usT - usT) ** 2, axis=0))
+            converged_now = (du_norm < u_threshold) & ~failed_now
+
+            def upd(new, old, fail_mask):
+                extra = (1,) * (new.ndim - 1)
+                act = active.reshape(extra + (-1,))
+                fl = fail_mask.reshape(extra + (-1,))
+                return jnp.where(act & ~fl, new, old)
+
+            finished_now = active & (converged_now | failed_now)
+            return dict(
+                x0s=x0T, cost=cp,
+                **({"params": pp} if batch_params else {}),
+                xs=upd(new_xsT, xsT, failed_now),
+                us=upd(new_usT, usT, failed_now),
+                jac=upd(jac_new, c["jac"], failed_now),
+                obj=upd(new_obj, c["obj"], failed_now),
+                Ks=upd(KsT, c["Ks"], jnp.zeros_like(failed_now)),
+                ks=upd(ksT, c["ks"], jnp.zeros_like(failed_now)),
+                itr=c["itr"] + 1,
+                converged=c["converged"] | (converged_now & active),
+                failed=c["failed"] | (failed_now & active),
+                done_itr=jnp.where(
+                    finished_now,
+                    jnp.int32(c["itr"] + 1),
+                    c["done_itr"],
+                ),
+            )
+
+        return body
+
     def make_body(params):
+        if lanes_last:
+            return make_body_ll(params)
+
         def body(c):
             x0s = c["x0s"]
             B = x0s.shape[0]
@@ -717,6 +886,7 @@ def make_batched_ilqr_solver(
                     c["Jx"], c["Ju"], xs, us, Qd, Rd, Fd, goal_q,
                     dt, obsdim,
                     block_b=TB if B % TB == 0 else B,
+                    interpret=pallas_interpret,
                 )
             elif use_pallas:
                 from ..ops.pallas_riccati import pallas_tvlqr_backward
@@ -805,6 +975,7 @@ def make_batched_ilqr_solver(
                     block_b=TB if B % TB == 0 else B,
                     per_lane_diag_cost=per_lane,
                     reg=reg_args,
+                    interpret=pallas_interpret,
                 )
                 (new_xs, new_us, new_obj, ls_success,
                  failed_now) = outs[:5]
@@ -934,45 +1105,65 @@ def make_batched_ilqr_solver(
 
         return body
 
+    def finalize(out):
+        """Carry -> the public batch-major (converged, xs, us, Ks, ks)
+        contract (a no-op relayout unless ``lanes_last``)."""
+        if not lanes_last:
+            return (out["converged"], out["xs"], out["us"], out["Ks"],
+                    out["ks"])
+        xs = jnp.transpose(out["xs"], (2, 0, 1))
+        us = jnp.transpose(out["us"], (1, 0))[:, :, None]
+        Ks = jnp.transpose(out["Ks"], (2, 0, 1))[:, :, None, :]
+        ks = jnp.transpose(out["ks"], (1, 0))[:, :, None]
+        return out["converged"], xs, us, Ks, ks
+
     def solve(params, x0s, uguess, cost_params=None):
         carry0 = make_carry0(params, x0s, uguess, cost_params)
         out = jax.lax.while_loop(cond, make_body(params), carry0)
-        return out["converged"], out["xs"], out["us"], out["Ks"], out["ks"]
+        return finalize(out)
 
+    solve._finalize = finalize
     if return_pieces:
         return solve, make_carry0, cond, make_body
     return solve
 
 
-def _batch_gather(tree, idx, B):
-    """Gather rows ``idx`` from every batch-leading leaf (those whose
+def _batch_gather(tree, idx, B, lanes_last=False):
+    """Gather rows ``idx`` from every batch-axis leaf (those whose
     first dim equals ``B``); other leaves (scalars like ``itr``) pass
     through. Shared by the staged and scheduled compaction drivers —
     a carry field whose leading dim is not the batch axis only needs
-    handling here."""
-    return jax.tree_util.tree_map(
-        lambda a: (
-            a[idx]
-            if getattr(a, "ndim", 0) >= 1 and a.shape[0] == B
-            else a
-        ),
-        tree,
-    )
+    handling here. ``lanes_last``: the carry is the lanes-last layout —
+    multi-dim leaves whose LAST dim is ``B`` gather on the last axis
+    (checked first: (H, ..., B) leaves can coincidentally have a
+    leading dim equal to B); 1-D ``(B,)`` flags and batch-leading
+    ``params`` leaves still use the axis-0 rule."""
+
+    def g(a):
+        nd = getattr(a, "ndim", 0)
+        if lanes_last and nd >= 2 and a.shape[-1] == B:
+            return a[..., idx]
+        if nd >= 1 and a.shape[0] == B:
+            return a[idx]
+        return a
+
+    return jax.tree_util.tree_map(g, tree)
 
 
-def _batch_scatter(full, front, idx, B):
+def _batch_scatter(full, front, idx, B, lanes_last=False):
     """Inverse of ``_batch_gather``: write ``front``'s rows back at
-    ``idx`` in every batch-leading leaf of ``full``; non-batch leaves
+    ``idx`` in every batch-axis leaf of ``full``; non-batch leaves
     take the front's value (e.g. ``itr`` — the front ran longest)."""
-    return jax.tree_util.tree_map(
-        lambda f, fr: (
-            f.at[idx].set(fr)
-            if getattr(f, "ndim", 0) >= 1 and f.shape[0] == B
-            else fr
-        ),
-        full,
-        front,
-    )
+
+    def s(f, fr):
+        nd = getattr(f, "ndim", 0)
+        if lanes_last and nd >= 2 and f.shape[-1] == B:
+            return f.at[..., idx].set(fr)
+        if nd >= 1 and f.shape[0] == B:
+            return f.at[idx].set(fr)
+        return fr
+
+    return jax.tree_util.tree_map(s, full, front)
 
 
 def make_staged_ilqr_solver(
@@ -1013,6 +1204,13 @@ def make_staged_ilqr_solver(
     (autompc/control/ilqr.py:160-248), except each chunk is a fused
     device program over the surviving batch.
     """
+    if kwargs.get("lanes_last"):
+        # flush() indexes carry leaves batch-major per slot; the
+        # device-side scheduled driver is the lanes-last host.
+        raise ValueError(
+            "lanes_last is not supported by the staged driver; use "
+            "make_scheduled_ilqr_solver"
+        )
     _, make_carry0, cond, make_body = make_batched_ilqr_solver(
         pred_core, cost, H=H, ds=ds, dc=dc, obsdim=obsdim, dt=dt,
         ubounds=ubounds, max_iter=max_iter, return_pieces=True, **kwargs,
@@ -1152,10 +1350,11 @@ def make_scheduled_ilqr_solver(
     20 + 18/2 + 12/4 = 32 B-iterations vs 50 for the single-program
     batch.
     """
-    _, make_carry0, cond, make_body = make_batched_ilqr_solver(
+    solve0, make_carry0, cond, make_body = make_batched_ilqr_solver(
         pred_core, cost, H=H, ds=ds, dc=dc, obsdim=obsdim, dt=dt,
         ubounds=ubounds, max_iter=max_iter, return_pieces=True, **kwargs,
     )
+    ll = bool(kwargs.get("lanes_last"))
 
     def solve(params, x0s, uguess, cost_params=None):
         B = x0s.shape[0]
@@ -1185,9 +1384,11 @@ def make_scheduled_ilqr_solver(
             front_idx = perm[:B_next]
 
             def compacted(carry):
-                front = _batch_gather(carry, front_idx, B_cur)
+                front = _batch_gather(carry, front_idx, B_cur,
+                                      lanes_last=ll)
                 front = recurse(front, sched[1:])
-                return _batch_scatter(carry, front, front_idx, B_cur)
+                return _batch_scatter(carry, front, front_idx, B_cur,
+                                      lanes_last=ll)
 
             def overflow(carry):
                 # Actives don't fit this bucket: stay at the current
@@ -1205,7 +1406,7 @@ def make_scheduled_ilqr_solver(
 
         carry = make_carry0(params, x0s, uguess, cost_params)
         out = recurse(carry, tuple(schedule))
-        return out["converged"], out["xs"], out["us"], out["Ks"], out["ks"]
+        return solve0._finalize(out)
 
     return solve
 

@@ -241,7 +241,7 @@ def _tree_sum(vals):
 
 
 def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
-                  ls_thresh, diag_cost, has_reg, *refs):
+                  ls_thresh, diag_cost, has_reg, dc1_io, *refs):
     """One batch block; ALL alphas live in this program as sublanes.
 
     Pass 1 rolls all L candidate step sizes, accumulating the quadratic
@@ -255,7 +255,7 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     When ``grad_terms`` is given (sparse analytic term gradients,
     FeatureLibrary.grad_terms), pass 2 ALSO emits the dynamics Jacobians
     ``coeffs @ dTheta/dz`` at every step of the selected trajectory into
-    ``jac_ref`` (H, ds, ds+dc, TB) — the relinearization phase of the
+    ``jac_ref`` (H, ds*(ds+dc), TB) packed — the relinearization phase of the
     iLQR body fused into the re-roll that already has (x_t, u_t) in
     registers (same math as ops/pallas_relin.py's sparse path, minus its
     separate dispatch and its HBM re-read of the accepted trajectory).
@@ -265,6 +265,16 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     per-lane-weighted shared dense stage term
     ``regw * (x - regmu)' regS (x - regmu)`` to the in-kernel objective
     (the GaussRegFactory term of a SumCost candidate batch).
+
+    ``dc1_io`` (dc == 1 only): the control-shaped streams drop their
+    unit dc dim — us/ks/out_us (H, TB) and Ks (H, ds, TB) — so their
+    sublane dim is H instead of 1-padded-to-8 (an 8x stream-bytes
+    saving on each of them).
+
+    The Jacobian output (``grad_terms``) is always PACKED: jac_ref
+    (H, ds*(ds+dc), TB) with row i*(ds+dc)+dd — sublane-dense (20 rows
+    at ds=4,dc=1 vs 4x8 padded for (H, ds, d, TB)), and exactly the
+    layout ``pallas_tvlqr_backward_quad_ll`` consumes.
     """
     (x0_ref, xs_ref, us_ref, Ks_ref, ks_ref, coeffs_ref,
      alphas_ref, umin_ref, umax_ref,
@@ -328,14 +338,25 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
         regmu = [regmu_ref[i, 0] for i in range(obsdim)]
         regw_row = regw_ref[0]                             # (TB,)
 
+    def load_ctrl_row(t):
+        # Control-shaped streams: dense (H, ...) rows under dc1_io,
+        # (H, dc, ...) otherwise.
+        if dc1_io:
+            ubar = [us_ref[t][None, :]]
+            K_t = [[Ks_ref[t, i][None, :] for i in range(ds)]]
+            k_t = [ks_ref[t][None, :]]
+        else:
+            ubar = [us_ref[t, j][None, :] for j in range(dc)]
+            K_t = [[Ks_ref[t, j, i][None, :] for i in range(ds)]
+                   for j in range(dc)]
+            k_t = [ks_ref[t, j][None, :] for j in range(dc)]
+        return ubar, K_t, k_t
+
     def body1(t, carry):
         obj = carry[-1]
         x = list(carry[:-1])
         xbar = [xs_ref[t, i][None, :] for i in range(ds)]
-        ubar = [us_ref[t, j][None, :] for j in range(dc)]
-        K_t = [[Ks_ref[t, j, i][None, :] for i in range(ds)]
-               for j in range(dc)]
-        k_t = [ks_ref[t, j][None, :] for j in range(dc)]
+        ubar, K_t, k_t = load_ctrl_row(t)
         u = controls(x, xbar, ubar, K_t, k_t, alpha_col)
         dxg = [x[i] - goal[i] for i in range(obsdim)]
         oc = quad_form(dxg, Q_ref, obsdim)
@@ -435,21 +456,22 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     def body2(t, x_tuple):
         x2 = list(x_tuple)
         xbar = [xs_ref[t, i][None, :] for i in range(ds)]
-        ubar = [us_ref[t, j][None, :] for j in range(dc)]
-        K_t = [[Ks_ref[t, j, i][None, :] for i in range(ds)]
-               for j in range(dc)]
-        k_t = [ks_ref[t, j][None, :] for j in range(dc)]
+        ubar, K_t, k_t = load_ctrl_row(t)
         u = controls(x2, xbar, ubar, K_t, k_t, a_sel)
         x_new = step_dynamics(x2, u)
         for i in range(ds):
             out_xs_ref[t + 1, i] = x_new[i][0]
-        for j in range(dc):
-            out_us_ref[t, j] = u[j][0]
+        if dc1_io:
+            out_us_ref[t] = u[0][0]
+        else:
+            for j in range(dc):
+                out_us_ref[t, j] = u[j][0]
         if grad_terms is not None:
             # Fused relinearization: Jacobian at (x_t, u_t) — the slabs
             # are already in registers; only terms with a nonzero
             # partial w.r.t. each component are evaluated (same sparse
-            # formulation as ops/pallas_relin.py).
+            # formulation as ops/pallas_relin.py). Rows are PACKED:
+            # jac_ref[t, i*d + dd] (sublane-dense).
             z = _VecZ(x2 + u)
             for dd in range(d):
                 slabs = [
@@ -461,7 +483,7 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
                 for i in range(ds):
                     vals = [coeffs_ref[i, k] * g for k, g in slabs]
                     total = _tree_sum(vals) if vals else 0.0
-                    jac_ref[t, i, dd] = jnp.broadcast_to(
+                    jac_ref[t, i * d + dd] = jnp.broadcast_to(
                         jnp.asarray(total, x2[0].dtype), x2[0].shape
                     )[0]
         return tuple(x_new)
@@ -473,7 +495,7 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     jax.jit,
     static_argnames=(
         "term_fns", "grad_terms", "dt", "ls_cost_threshold", "block_b",
-        "interpret", "per_lane_diag_cost",
+        "interpret", "per_lane_diag_cost", "ll_io",
     ),
 )
 def pallas_fused_line_search(
@@ -484,6 +506,7 @@ def pallas_fused_line_search(
     block_b: int = 128, interpret: bool = False,
     per_lane_diag_cost: bool = False,
     reg=None,
+    ll_io: bool = False,
 ):
     """Fused line search for linear-in-features models and quadratic
     costs: rolls all alphas, evaluates the iLQR objective in-register,
@@ -518,21 +541,46 @@ def pallas_fused_line_search(
     Returns (new_xs (B, H+1, ds), new_us (B, H, dc), new_obj (B,),
     ls_success (B,) bool, failed (B,) bool)
     [+ (Jx (B, H, ds, ds), Ju (B, H, ds, dc)) when grad_terms is given].
+
+    ``ll_io=True`` (dc == 1 only): lanes-last IO with ZERO wrapper
+    transposes — the iLQR body keeps its whole carry lanes-last.
+    Inputs: x0 (ds, B), xs (H+1, ds, B), us (H, B), Ks (H, ds, B),
+    ks (H, B); per-lane cost diagonals Q/F (obsdim, B), R (1, B); a
+    3-D ``coeffs`` is already (ds, F, B). Returns (new_xs (H+1, ds, B),
+    new_us (H, B), new_obj (B,), ls_success (B,), failed (B,)
+    [+ jac_p (H, ds*(ds+1), B) packed — feed
+    ``pallas_tvlqr_backward_quad_ll`` directly]).
     """
-    B, Hp1, ds = xs.shape
+    if ll_io:
+        Hp1, ds, B = xs.shape
+        dc = 1
+    else:
+        B, Hp1, ds = xs.shape
+        dc = us.shape[-1]
     H = Hp1 - 1
-    dc = us.shape[-1]
+    dc1_io = dc == 1
     L = alphas.shape[0]
     obsdim = Q.shape[-1]
     TB = min(block_b, B)
     if B % TB != 0:
         raise ValueError(f"batch {B} not divisible by block {TB}")
 
-    x0T = jnp.transpose(x0, (1, 0))
-    xsT = jnp.transpose(xs[:, :H], (1, 2, 0))
-    usT = jnp.transpose(us, (1, 2, 0))
-    KsT = jnp.transpose(Ks, (1, 2, 3, 0))
-    ksT = jnp.transpose(ks, (1, 2, 0))
+    if ll_io:
+        x0T, xsT, usT, KsT, ksT = x0, xs, us, Ks, ks
+    elif dc1_io:
+        # Dense dc=1 control streams: (H, B) instead of (H, 1, B),
+        # whose unit sublane dim pads 1 -> 8 (8x stream bytes).
+        x0T = jnp.transpose(x0, (1, 0))
+        xsT = jnp.transpose(xs[:, :H], (1, 2, 0))
+        usT = jnp.transpose(us[:, :, 0], (1, 0))
+        KsT = jnp.transpose(Ks[:, :, 0], (1, 2, 0))
+        ksT = jnp.transpose(ks[:, :, 0], (1, 0))
+    else:
+        x0T = jnp.transpose(x0, (1, 0))
+        xsT = jnp.transpose(xs[:, :H], (1, 2, 0))
+        usT = jnp.transpose(us, (1, 2, 0))
+        KsT = jnp.transpose(Ks, (1, 2, 3, 0))
+        ksT = jnp.transpose(ks, (1, 2, 0))
     dtype = xs.dtype
     alphas2 = alphas[:, None].astype(dtype)
     umin2 = jnp.broadcast_to(
@@ -547,7 +595,7 @@ def pallas_fused_line_search(
     kernel = functools.partial(
         _fused_kernel, term_fns, grad_terms, ds, dc, obsdim, H, L,
         float(dt), float(ls_cost_threshold), bool(per_lane_diag_cost),
-        reg is not None,
+        reg is not None, dc1_io,
     )
     grid = (B // TB,)
 
@@ -563,16 +611,24 @@ def pallas_fused_line_search(
                             memory_space=pltpu.SMEM)
 
     if coeffs.ndim == 3:
-        coeffs_in = jnp.transpose(coeffs, (1, 2, 0)).astype(dtype)
-        coeffs_spec = vspec(coeffs.shape[1:])
+        if ll_io:
+            coeffs_in = coeffs.astype(dtype)             # (ds, F, B)
+        else:
+            coeffs_in = jnp.transpose(coeffs, (1, 2, 0)).astype(dtype)
+        coeffs_spec = vspec(coeffs_in.shape[:2])
     else:
         coeffs_in = coeffs.astype(dtype)
         coeffs_spec = sspec(coeffs.shape)
 
     if per_lane_diag_cost:
-        Q_in = jnp.transpose(Q, (1, 0)).astype(dtype)    # (obsdim, B)
-        R_in = jnp.transpose(R, (1, 0)).astype(dtype)    # (dc, B)
-        F_in = jnp.transpose(F, (1, 0)).astype(dtype)
+        if ll_io:
+            Q_in = Q.astype(dtype)                       # (obsdim, B)
+            R_in = R.astype(dtype)                       # (dc, B)
+            F_in = F.astype(dtype)
+        else:
+            Q_in = jnp.transpose(Q, (1, 0)).astype(dtype)
+            R_in = jnp.transpose(R, (1, 0)).astype(dtype)
+            F_in = jnp.transpose(F, (1, 0)).astype(dtype)
         Q_spec, R_spec, F_spec = (
             vspec((obsdim,)), vspec((dc,)), vspec((obsdim,))
         )
@@ -585,9 +641,18 @@ def pallas_fused_line_search(
             sspec((obsdim, obsdim)),
         )
 
+    xs_rows = Hp1 if ll_io else H
+    if dc1_io:
+        us_spec, Ks_spec, ks_spec = (
+            vspec((H,)), vspec((H, ds)), vspec((H,))
+        )
+    else:
+        us_spec, Ks_spec, ks_spec = (
+            vspec((H, dc)), vspec((H, dc, ds)), vspec((H, dc))
+        )
     in_specs = [
-        vspec((ds,)), vspec((H, ds)), vspec((H, dc)),
-        vspec((H, dc, ds)), vspec((H, dc)),
+        vspec((ds,)), vspec((xs_rows, ds)), us_spec,
+        Ks_spec, ks_spec,
         coeffs_spec, sspec((L, 1)),
         sspec((dc, 1)), sspec((dc, 1)),
         Q_spec, R_spec, F_spec, sspec((obsdim, 1)),
@@ -613,22 +678,24 @@ def pallas_fused_line_search(
 
     out_specs = [
         vspec((H + 1, ds)),
-        vspec((H, dc)),
+        vspec((H,)) if dc1_io else vspec((H, dc)),
         vspec((1,)),
         vspec((1,)),
         vspec((1,)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((H + 1, ds, B), dtype),
-        jax.ShapeDtypeStruct((H, dc, B), dtype),
+        jax.ShapeDtypeStruct(
+            (H, B) if dc1_io else (H, dc, B), dtype
+        ),
         jax.ShapeDtypeStruct((1, B), dtype),
         jax.ShapeDtypeStruct((1, B), dtype),
         jax.ShapeDtypeStruct((1, B), dtype),
     ]
+    d = ds + dc
     if grad_terms is not None:
-        d = ds + dc
-        out_specs.append(vspec((H, ds, d)))
-        out_shape.append(jax.ShapeDtypeStruct((H, ds, d, B), dtype))
+        out_specs.append(vspec((H, ds * d)))
+        out_shape.append(jax.ShapeDtypeStruct((H, ds * d, B), dtype))
 
     outs = pl.pallas_call(
         kernel,
@@ -640,13 +707,24 @@ def pallas_fused_line_search(
     )(*inputs)
 
     out_xsT, out_usT, objT, succT, failT = outs[:5]
+    if ll_io:
+        base = (
+            out_xsT, out_usT, objT[0],
+            succT[0] > 0.5, failT[0] > 0.5,
+        )
+        if grad_terms is None:
+            return base
+        return base + (outs[5],)                       # jac_p packed
     new_xs = jnp.transpose(out_xsT, (2, 0, 1))         # (B, H+1, ds)
-    new_us = jnp.transpose(out_usT, (2, 0, 1))         # (B, H, dc)
+    if dc1_io:
+        new_us = jnp.transpose(out_usT, (1, 0))[:, :, None]
+    else:
+        new_us = jnp.transpose(out_usT, (2, 0, 1))     # (B, H, dc)
     base = (
         new_xs, new_us, objT[0],
         succT[0] > 0.5, failT[0] > 0.5,
     )
     if grad_terms is None:
         return base
-    jac = jnp.transpose(outs[5], (3, 0, 1, 2))         # (B, H, ds, d)
+    jac = jnp.transpose(outs[5], (2, 0, 1)).reshape(B, H, ds, d)
     return base + (jac[..., :ds], jac[..., ds:])

@@ -123,15 +123,17 @@ def _backward_kernel(ds, H, jx_ref, ju_ref, cxx_ref, cuu_ref, cx_ref,
     quad_out_ref[0] = quad
 
 
-def _backward_quad_kernel(ds, obsdim, H, dt,
-                          jx_ref, ju_ref, xs_ref, us_ref,
-                          qd_ref, rd_ref, fd_ref, goal_ref,
-                          ks_out_ref, kv_out_ref, lin_out_ref,
-                          quad_out_ref):
-    """Backward recursion with the diagonal-quadratic cost expansions
-    computed INLINE from the trajectory (lanes last, dc=1 squeezed):
-    jx (H, ds, ds, TB), ju (H, ds, TB), xs (H+1, ds, TB), us (H, TB),
-    qd/fd (obsdim, TB), rd (1, TB), goal (obsdim, 1) [SMEM].
+def _backward_quad_loop(ds, obsdim, H, dt, load_jac,
+                        xs_ref, us_ref, qd_ref, rd_ref, fd_ref, goal_ref,
+                        ks_out_ref, kv_out_ref, lin_out_ref,
+                        quad_out_ref):
+    """Shared backward recursion with the diagonal-quadratic cost
+    expansions computed INLINE from the trajectory (lanes last, dc=1
+    squeezed): xs (H+1, ds, TB), us (H, TB), qd/fd (obsdim, TB),
+    rd (1, TB), goal (obsdim, 1) [SMEM]. ``load_jac(t)`` abstracts the
+    Jacobian stream layout — split (H, ds, ds, TB)+(H, ds, TB) arrays
+    or the packed (H, ds*(ds+1), TB) rows the fused line-search kernel
+    emits — returning (Jx [k][j], Ju [k]) lists of (TB,) slabs.
 
     Replaces the separate expansions phase + the (B, H, ds, ds) Cxx /
     (B, H, ds) cx / Cuu / cu materialization and their lanes-last
@@ -139,7 +141,7 @@ def _backward_quad_kernel(ds, obsdim, H, dt,
     (costs/cost.py:62-141 — value (x-g)'Q(x-g), gradient 2Q(x-g),
     hessian 2Q, dt-scaled per ilqr.py:165-187) are a handful of
     per-lane multiplies once Q/R/F are diagonal."""
-    TB = jx_ref.shape[-1]
+    TB = us_ref.shape[-1]
 
     def stack2(rows):
         return jnp.stack([jnp.stack(r) for r in rows])
@@ -161,8 +163,7 @@ def _backward_quad_kernel(ds, obsdim, H, dt,
     def body(i, carry):
         t = H - 1 - i
         V, v, lin, quad = carry
-        Jx = jx_ref[t]
-        Ju = ju_ref[t]
+        Jx, Ju = load_jac(t)
         cx = cx_at(t)
         cu = rd2 * us_ref[t]
 
@@ -172,7 +173,7 @@ def _backward_quad_kernel(ds, obsdim, H, dt,
         Quu = rd2 + sum(JuV[k] * Ju[k] for k in range(ds))
         inv_quu = 1.0 / Quu
         Qux = [
-            sum(JuV[k] * Jx[k, j] for k in range(ds)) for j in range(ds)
+            sum(JuV[k] * Jx[k][j] for k in range(ds)) for j in range(ds)
         ]
         qu = cu + sum(Ju[k] * v[k] for k in range(ds))
         K = [-Qux[j] * inv_quu for j in range(ds)]
@@ -182,21 +183,21 @@ def _backward_quad_kernel(ds, obsdim, H, dt,
         quad = quad + kff * Quu * kff
 
         JxV = [
-            [sum(Jx[k, i_] * V[k, j] for k in range(ds)) for j in range(ds)]
+            [sum(Jx[k][i_] * V[k, j] for k in range(ds)) for j in range(ds)]
             for i_ in range(ds)
         ]
         # Qxx = diag(2 Q dt) + Jx' V Jx (the stage hessian is the
         # constant diagonal, folded into the diagonal entries).
         Qxx = [
             [
-                sum(JxV[i_][k] * Jx[k, j] for k in range(ds))
+                sum(JxV[i_][k] * Jx[k][j] for k in range(ds))
                 + ((qd[i_] if i_ < obsdim else 0.0) if i_ == j else 0.0)
                 for j in range(ds)
             ]
             for i_ in range(ds)
         ]
         qx = [
-            cx[i_] + sum(Jx[k, i_] * v[k] for k in range(ds))
+            cx[i_] + sum(Jx[k][i_] * v[k] for k in range(ds))
             for i_ in range(ds)
         ]
         V_new = stack2(
@@ -243,6 +244,52 @@ def _backward_quad_kernel(ds, obsdim, H, dt,
     )
     lin_out_ref[0] = lin
     quad_out_ref[0] = quad
+
+
+def _backward_quad_kernel(ds, obsdim, H, dt,
+                          jx_ref, ju_ref, xs_ref, us_ref,
+                          qd_ref, rd_ref, fd_ref, goal_ref,
+                          ks_out_ref, kv_out_ref, lin_out_ref,
+                          quad_out_ref):
+    """Split-jac layout: jx (H, ds, ds, TB), ju (H, ds, TB)."""
+
+    def load_jac(t):
+        Jxm = jx_ref[t]
+        Jum = ju_ref[t]
+        Jx = [[Jxm[k, j] for j in range(ds)] for k in range(ds)]
+        Ju = [Jum[k] for k in range(ds)]
+        return Jx, Ju
+
+    _backward_quad_loop(
+        ds, obsdim, H, dt, load_jac,
+        xs_ref, us_ref, qd_ref, rd_ref, fd_ref, goal_ref,
+        ks_out_ref, kv_out_ref, lin_out_ref, quad_out_ref,
+    )
+
+
+def _backward_quad_kernel_packed(ds, obsdim, H, dt,
+                                 jac_ref, xs_ref, us_ref,
+                                 qd_ref, rd_ref, fd_ref, goal_ref,
+                                 ks_out_ref, kv_out_ref, lin_out_ref,
+                                 quad_out_ref):
+    """Packed-jac layout: jac (H, ds*(ds+1), TB), row k*(ds+1)+j =
+    dx'[k]/dx[j] for j < ds and dx'[k]/du for j == ds — exactly what
+    the fused line-search kernel emits (ops/pallas_linesearch.py),
+    sublane-DENSE (20 rows at ds=4 vs the split layout's 4x8-padded 32
+    + 8)."""
+    d = ds + 1
+
+    def load_jac(t):
+        row = jac_ref[t]
+        Jx = [[row[k * d + j] for j in range(ds)] for k in range(ds)]
+        Ju = [row[k * d + ds] for k in range(ds)]
+        return Jx, Ju
+
+    _backward_quad_loop(
+        ds, obsdim, H, dt, load_jac,
+        xs_ref, us_ref, qd_ref, rd_ref, fd_ref, goal_ref,
+        ks_out_ref, kv_out_ref, lin_out_ref, quad_out_ref,
+    )
 
 
 @functools.partial(
@@ -331,6 +378,86 @@ def pallas_tvlqr_backward_quad(
     Ks = jnp.transpose(ksT, (2, 0, 1))[:, :, None, :]
     ks = jnp.transpose(kvT, (1, 0))[:, :, None]
     return Ks, ks, linT[0], quadT[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "obsdim", "block_b", "interpret"),
+)
+def pallas_tvlqr_backward_quad_ll(
+    jac_p, xsT, usT, QdT, RdT, FdT, goal, dt, obsdim,
+    block_b: int = 128, interpret: bool = False,
+):
+    """Lanes-last, packed-jac variant of ``pallas_tvlqr_backward_quad``
+    — zero layout transposes in the wrapper, so the iLQR body can keep
+    its carry lanes-last across iterations (the per-iteration
+    (B,H,ds,ds)<->(H,ds,ds,B) relayouts of the batch-major wrapper are
+    pure HBM round-trips at headline batch sizes). dc must be 1.
+
+    Parameters: jac_p (H, ds*(ds+1), B) — packed rows k*(ds+1)+j, the
+    layout ``pallas_fused_line_search(ll_io=True)`` emits; xsT
+    (H+1, ds, B); usT (H, B); QdT/FdT (obsdim, B); RdT (1, B);
+    goal (obsdim,); dt and obsdim static.
+
+    Returns (KsT (H, ds, B), ksT (H, B), lin_red (B,), quad_red (B,))
+    — the same values as the batch-major wrapper, lanes-last."""
+    H, dsd, B = jac_p.shape
+    ds = xsT.shape[1]
+    if dsd != ds * (ds + 1):
+        raise ValueError(
+            f"jac_p rows {dsd} != ds*(ds+1) = {ds * (ds + 1)}"
+        )
+    TB = min(block_b, B)
+    if B % TB != 0:
+        raise ValueError(f"batch {B} must be divisible by block {TB}")
+
+    goal2 = jnp.asarray(goal, dtype=jac_p.dtype).reshape(obsdim, 1)
+    kernel = functools.partial(
+        _backward_quad_kernel_packed, ds, obsdim, H, float(dt)
+    )
+    grid = (B // TB,)
+
+    def bspec(shape_prefix):
+        ndim = len(shape_prefix)
+        return pl.BlockSpec(
+            shape_prefix + (TB,),
+            lambda i, nd=ndim: (0,) * nd + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shape = (
+        jax.ShapeDtypeStruct((H, ds, B), jac_p.dtype),
+        jax.ShapeDtypeStruct((H, B), jac_p.dtype),
+        jax.ShapeDtypeStruct((1, B), jac_p.dtype),
+        jax.ShapeDtypeStruct((1, B), jac_p.dtype),
+    )
+    ksT, kvT, linT, quadT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            bspec((H, dsd)),
+            bspec((H + 1, ds)),
+            bspec((H,)),
+            bspec((obsdim,)),
+            bspec((1,)),
+            bspec((obsdim,)),
+            pl.BlockSpec(
+                (obsdim, 1), lambda i: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=(
+            bspec((H, ds)),
+            bspec((H,)),
+            bspec((1,)),
+            bspec((1,)),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jac_p, xsT, usT, QdT.astype(jac_p.dtype),
+      RdT.astype(jac_p.dtype), FdT.astype(jac_p.dtype), goal2)
+
+    return ksT, kvT, linT[0], quadT[0]
 
 
 def _backward_general_kernel(ds, dc, H, jx_ref, ju_ref, cxx_ref, cuu_ref,

@@ -118,7 +118,14 @@ def main():
             backward=backward,
             feature_spec=feature_spec,
             fuse_ls=(ls_mode == "fused"),
-            block_b=int(os.environ.get("BENCH_BLOCK", "128")),
+            # Round-4 block sweep under the lanes-last carry: 256 reads
+            # 51.9k vs 49.3k at 128 (B=65536); 512 fails to compile
+            # (scoped VMEM). The batch-major carry was tuned at 128.
+            block_b=int(os.environ.get(
+                "BENCH_BLOCK",
+                "256" if os.environ.get("BENCH_LL", "on") == "on"
+                else "128",
+            )),
             # BENCH_RELIN: "auto" (Pallas relinearization kernel when
             # the line-search feature_spec is on — the heaviest phase,
             # tools/profile_ilqr_phases.py), "xla" (jacfwd).
@@ -142,6 +149,15 @@ def main():
             # One alpha-block per program (all 10 alphas as sublanes)
             # measured 8945 vs 8490 solves/s at the 5-alpha default.
             ls_block_l=int(os.environ.get("BENCH_LBLK", "10")),
+            # BENCH_LL (round 4, default on): lanes-last packed carry —
+            # the fused/backward kernels speak their native layout
+            # across iterations instead of relayouting
+            # (B,H,...)<->(H,...,B) every iteration (control/ilqr.py
+            # lanes_last doc). Interleaved at B=65536: 49.3k vs 44.6k
+            # solves/s at block 128; 51.9k at block 256 (the new
+            # default pair). BENCH_LL=off restores the batch-major
+            # carry.
+            lanes_last=(os.environ.get("BENCH_LL", "on") == "on"),
         )
         # BENCH_SCHED: device-side converged-lane compaction (default):
         # the convergence histogram is long-tailed (median lane ~15
