@@ -560,7 +560,9 @@ def pallas_fused_line_search(
     H = Hp1 - 1
     dc1_io = dc == 1
     L = alphas.shape[0]
-    obsdim = Q.shape[-1]
+    # Per-lane diagonals arrive (B, obsdim) batch-major but (obsdim, B)
+    # under ll_io — the trailing dim is the BATCH there.
+    obsdim = Q.shape[0] if (ll_io and per_lane_diag_cost) else Q.shape[-1]
     TB = min(block_b, B)
     if B % TB != 0:
         raise ValueError(f"batch {B} not divisible by block {TB}")

@@ -104,7 +104,14 @@ class QuadCostFanout:
         warm_start: bool = False,
         reg_matrix=None,
         reg_goal=None,
+        fuse_ls: bool = False,
+        lanes_last: bool = False,
     ):
+        # ``fuse_ls``: the fully fused line-search kernel (objective +
+        # acceptance in-kernel, per-lane diagonal costs; needs
+        # feature_spec). ``lanes_last``: the round-4 packed carry
+        # (control/ilqr.py lanes_last doc; needs fuse_ls, dc=1, no
+        # reg_matrix).
         # ``reg_matrix``/``reg_goal``: the GaussRegFactory term — the
         # candidate batch then additionally carries per-lane weights
         # ``regw (B,)`` and each lane's cost is the SumCost
@@ -164,6 +171,8 @@ class QuadCostFanout:
                 feature_spec=feature_spec, block_b=block_b,
                 ls_block_l=10,  # one alpha-block per program (bench-tuned)
                 quad_cost_batch=True, quad_goal=goal,
+                fuse_ls=bool(fuse_ls and feature_spec is not None),
+                lanes_last=bool(lanes_last),
             )
             if reg_matrix is not None:
                 solver_kw["reg_matrix"] = jnp.asarray(reg_matrix)
@@ -393,6 +402,7 @@ class JointSINDyQuadCostFanout:
         fuse_ls: bool = False,
         reg_matrix=None,
         reg_goal=None,
+        lanes_last: bool = False,
     ):
         # Defaults are CPU-safe (XLA scan paths); TPU callers opt into
         # the Pallas kernels with backward="pallas",
@@ -485,6 +495,7 @@ class JointSINDyQuadCostFanout:
             block_b=block_b, ls_block_l=10,
             batch_params=True, quad_cost_batch=True, quad_goal=goal,
             fuse_ls=bool(fuse_ls and feature_spec is not None),
+            lanes_last=bool(lanes_last),
         )
         if reg_matrix is not None:
             solver_kw["reg_matrix"] = jnp.asarray(reg_matrix)

@@ -188,6 +188,13 @@ def main():
                     ls == "pallas"
                     and os.environ.get("SCALE_FUSE", "1") != "0"
                 ),
+                # SCALE_LL=0 restores the batch-major carry (round 4:
+                # the lanes-last packed carry, control/ilqr.py).
+                lanes_last=(
+                    ls == "pallas"
+                    and os.environ.get("SCALE_FUSE", "1") != "0"
+                    and os.environ.get("SCALE_LL", "1") != "0"
+                ),
                 warm_start=bool(os.environ.get("SCALE_WARM")),
             )
         elif mode == "gp":
@@ -259,6 +266,13 @@ def main():
                 warm_start=bool(os.environ.get("SCALE_WARM")),
             )
         else:
+            # SCALE_FUSE / SCALE_LL (round 4): the fused line-search
+            # kernel + lanes-last packed carry, same knobs as the
+            # joint mode (fuse was previously joint-only here).
+            fixed_fuse = (
+                ls == "pallas"
+                and os.environ.get("SCALE_FUSE", "1") != "0"
+            )
             fanout = QuadCostFanout(
                 benchmark.system, benchmark.task, model, model,
                 horizon=horizon, n_steps=n_steps, mesh=mesh,
@@ -268,6 +282,10 @@ def main():
                 backward=backward,
                 feature_spec=(
                     (model.library, "coeffs") if ls == "pallas" else None
+                ),
+                fuse_ls=fixed_fuse,
+                lanes_last=(
+                    fixed_fuse and os.environ.get("SCALE_LL", "1") != "0"
                 ),
                 warm_start=bool(os.environ.get("SCALE_WARM")),
             )

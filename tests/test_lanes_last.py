@@ -241,7 +241,7 @@ def test_ll_per_lane_cost_matches_batch_major(setup):
         fuse_ls=True, pallas_interpret=True, **kw
     )
     rng = np.random.default_rng(9)
-    B = 4
+    B = 6  # deliberately != obsdim: a transposed-shape mixup must fail
     x0s = jnp.asarray(rng.uniform(-1, 1, (B, 4)))
     ug = jnp.zeros((B, common["H"], 1))
     cp = dict(
@@ -251,6 +251,49 @@ def test_ll_per_lane_cost_matches_batch_major(setup):
     )
     out_l = jax.jit(ll)(model.params, x0s, ug, cp)
     out_r = jax.jit(ref)(model.params, x0s, ug, cp)
+    np.testing.assert_array_equal(np.asarray(out_l[0]),
+                                  np.asarray(out_r[0]))
+    for i in (1, 2):
+        np.testing.assert_allclose(
+            np.asarray(out_l[i]), np.asarray(out_r[i]),
+            rtol=1e-10, atol=1e-10,
+        )
+
+
+def test_ll_batch_params_matches_batch_major(setup):
+    """batch_params=True (per-lane model coefficients — the JOINT
+    fan-out shape) through the lanes-last carry == the batch-major
+    fused per-lane path."""
+    b, model, cost, common = setup
+    kw = dict(common)
+    kw.pop("dt")
+    shared = dict(
+        dt=b.system.dt, quad_cost_batch=True, quad_goal=jnp.zeros(4),
+        batch_params=True,
+    )
+    ll = make_batched_ilqr_solver(
+        model.pred_core, None, **shared, **_ll_kwargs(model), **kw
+    )
+    ref = make_batched_ilqr_solver(
+        model.pred_core, None, **shared,
+        backward="pallas", feature_spec=(model.library, "coeffs"),
+        fuse_ls=True, pallas_interpret=True, **kw
+    )
+    rng = np.random.default_rng(13)
+    B = 6
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 4)))
+    ug = jnp.zeros((B, common["H"], 1))
+    coeffs = jnp.asarray(model.coeffs)[None] * jnp.asarray(
+        1.0 + 0.01 * rng.normal(size=(B, 1, 1))
+    )
+    params = {"coeffs": coeffs}
+    cp = dict(
+        Qdiag=jnp.asarray(rng.uniform(0.5, 10.0, (B, 4))),
+        Rdiag=jnp.asarray(rng.uniform(0.001, 0.01, (B, 1))),
+        Fdiag=jnp.asarray(rng.uniform(0.5, 10.0, (B, 4))),
+    )
+    out_l = jax.jit(ll)(params, x0s, ug, cp)
+    out_r = jax.jit(ref)(params, x0s, ug, cp)
     np.testing.assert_array_equal(np.asarray(out_l[0]),
                                   np.asarray(out_r[0]))
     for i in (1, 2):

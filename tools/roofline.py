@@ -240,12 +240,14 @@ def main():
         # 56, feedback 12, in-register objective ~20) + the selected
         # re-roll with fused relin (~420/lane-step).
         flops = B * H * (L * 120 + 420)
+        # Round-4 kernel IO: dense dc=1 streams (H, B) and the PACKED
+        # jac output (H, ds*(ds+1), B) (ops/pallas_linesearch.py).
         bytes_ = 4 * (
             padded_elems(ds, B) + padded_elems(H, ds, B)
-            + 3 * padded_elems(H, dc, B)            # us, ks, out_us
-            + padded_elems(H, dc, ds, B)
+            + 3 * padded_elems(H, B)                # us, ks, out_us
+            + padded_elems(H, ds, B)                # Ks (dc=1 dense)
             + padded_elems(H + 1, ds, B)            # out_xs
-            + 2 * padded_elems(H, ds, ds, B)        # fused Jx out (+Ju)
+            + padded_elems(H, ds * (ds + 1), B)     # packed jac out
         )
         run_case(f"fused_ls B{B} H200 F{F}", fn, ins, flops, bytes_,
                  "VPU-f32", PEAK_VPU_F32)
