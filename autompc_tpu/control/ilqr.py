@@ -783,11 +783,20 @@ def make_batched_ilqr_solver(
                 RdT = jnp.broadcast_to(rdf[:, None], (dc, B))
                 FdT = jnp.broadcast_to(fdf[:, None], (obsdim, B))
             TB = min(block_b, B)
+            # In-kernel carry update: inactive lanes keep their old
+            # gains/trajectories/jacobians via selects at the kernels'
+            # write sites — no separate elementwise where-passes over
+            # the (H, ...) carry arrays (at B=65536 those passes rival
+            # the kernels' own streams).
             KsT, ksT, lin_red, quad_red = pallas_tvlqr_backward_quad_ll(
                 c["jac"], xsT, usT, QdT, RdT, FdT, goal_q, dt, obsdim,
                 block_b=TB if B % TB == 0 else B,
                 interpret=pallas_interpret,
+                carry=(active, c["Ks"], c["ks"]),
             )
+            # Inactive lanes' ksT rows hold OLD gains (the carry
+            # select); their acceptance outcome is discarded by the
+            # same masks downstream, so the stale ks_small is inert.
             ks_small = jnp.sqrt(jnp.sum(ksT**2, axis=0)) < u_threshold
 
             ls_umin = (
@@ -806,7 +815,7 @@ def make_batched_ilqr_solver(
                 cost_args = (cost._Q, cost._R, cost._F, cost._goal)
                 per_lane = False
             (new_xsT, new_usT, new_obj, ls_success, failed_now,
-             jac_lin) = pallas_fused_line_search(
+             jac_new, du2) = pallas_fused_line_search(
                 fns_a, x0T, xsT, usT, KsT, ksT,
                 coeffs, alphas, ls_umin, ls_umax,
                 *cost_args, dt,
@@ -817,30 +826,24 @@ def make_batched_ilqr_solver(
                 per_lane_diag_cost=per_lane,
                 ll_io=True,
                 interpret=pallas_interpret,
+                carry=(active, c["jac"]),
             )
 
-            jac_new = jnp.where(
-                ls_success[None, None, :], jac_lin, c["jac"]
-            )
-            du_norm = jnp.sqrt(jnp.sum((new_usT - usT) ** 2, axis=0))
-            converged_now = (du_norm < u_threshold) & ~failed_now
-
-            def upd(new, old, fail_mask):
-                extra = (1,) * (new.ndim - 1)
-                act = active.reshape(extra + (-1,))
-                fl = fail_mask.reshape(extra + (-1,))
-                return jnp.where(act & ~fl, new, old)
-
+            # The kernels already applied the carry selects; outputs
+            # ARE the next carry. du2 is the kernel-accumulated
+            # sum_t |u_sel - u_old|^2 (the same quantity the
+            # batch-major body reduces from new_us - us).
+            converged_now = (jnp.sqrt(du2) < u_threshold) & ~failed_now
             finished_now = active & (converged_now | failed_now)
             return dict(
                 x0s=x0T, cost=cp,
                 **({"params": pp} if batch_params else {}),
-                xs=upd(new_xsT, xsT, failed_now),
-                us=upd(new_usT, usT, failed_now),
-                jac=upd(jac_new, c["jac"], failed_now),
-                obj=upd(new_obj, c["obj"], failed_now),
-                Ks=upd(KsT, c["Ks"], jnp.zeros_like(failed_now)),
-                ks=upd(ksT, c["ks"], jnp.zeros_like(failed_now)),
+                xs=new_xsT,
+                us=new_usT,
+                jac=jac_new,
+                obj=new_obj,
+                Ks=KsT,
+                ks=ksT,
                 itr=c["itr"] + 1,
                 converged=c["converged"] | (converged_now & active),
                 failed=c["failed"] | (failed_now & active),

@@ -241,7 +241,8 @@ def _tree_sum(vals):
 
 
 def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
-                  ls_thresh, diag_cost, has_reg, dc1_io, *refs):
+                  ls_thresh, diag_cost, has_reg, dc1_io, carry_update,
+                  *refs):
     """One batch block; ALL alphas live in this program as sublanes.
 
     Pass 1 rolls all L candidate step sizes, accumulating the quadratic
@@ -275,6 +276,16 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     (H, ds*(ds+dc), TB) with row i*(ds+dc)+dd — sublane-dense (20 rows
     at ds=4,dc=1 vs 4x8 padded for (H, ds, d, TB)), and exactly the
     layout ``pallas_tvlqr_backward_quad_ll`` consumes.
+
+    ``carry_update`` (lanes-last path): the iLQR body's carry-select
+    semantics move INTO the kernel — extra inputs act (1, TB) and (if
+    grad_terms) the PREVIOUS jac plane; outputs become the final carry
+    values (active & not-failed lanes take the new trajectory/obj,
+    successful ones the new jac; everything else writes the old value
+    back), plus a du2 (1, TB) output (sum over t of |u_sel - u_old|^2,
+    the convergence test's norm) — this deletes the body's separate
+    elementwise where-passes over the (H, ...) carry arrays, which at
+    headline batch rival a kernel's own streams.
     """
     (x0_ref, xs_ref, us_ref, Ks_ref, ks_ref, coeffs_ref,
      alphas_ref, umin_ref, umax_ref,
@@ -284,9 +295,21 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     if has_reg:
         regS_ref, regmu_ref, regw_ref = refs[17:20]
         n_in = 20
+    act_ref = oldjac_ref = None
+    if carry_update:
+        act_ref = refs[n_in]
+        n_in += 1
+        if grad_terms is not None:
+            oldjac_ref = refs[n_in]
+            n_in += 1
     (out_xs_ref, out_us_ref, out_obj_ref, out_succ_ref,
      out_fail_ref) = refs[n_in:n_in + 5]
-    jac_ref = refs[n_in + 5] if grad_terms is not None else None
+    nxt = n_in + 5
+    jac_ref = None
+    if grad_terms is not None:
+        jac_ref = refs[nxt]
+        nxt += 1
+    du2_ref = refs[nxt] if carry_update else None
 
     TB = x0_ref.shape[-1]
     F_feat = coeffs_ref.shape[1]
@@ -441,7 +464,14 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     for l in range(L):
         alpha_sel = jnp.where(sel == float(l), alphas[l], alpha_sel)
 
-    out_obj_ref[0] = new_obj
+    if carry_update:
+        act = act_ref[0] > 0.5
+        traj_mask = act & ~failed                       # upd(new, old)
+        jac_mask = traj_mask & ls_success
+        out_obj_ref[0] = jnp.where(traj_mask, new_obj, obj0)
+    else:
+        traj_mask = jac_mask = None
+        out_obj_ref[0] = new_obj
     out_succ_ref[0] = ls_success.astype(new_obj.dtype)
     out_fail_ref[0] = failed.astype(new_obj.dtype)
 
@@ -449,23 +479,48 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     a_sel = alpha_sel[None, :]                         # (1, TB)
     x2 = [x0_ref[i][None, :] for i in range(ds)]
     for i in range(ds):
-        out_xs_ref[0, i] = x2[i][0]
+        if carry_update:
+            out_xs_ref[0, i] = jnp.where(traj_mask, x2[i][0],
+                                         xs_ref[0, i])
+        else:
+            out_xs_ref[0, i] = x2[i][0]
 
     d = ds + dc
 
-    def body2(t, x_tuple):
-        x2 = list(x_tuple)
+    def body2(t, carry2):
+        if carry_update:
+            x2 = list(carry2[:-1])
+            du2 = carry2[-1]
+        else:
+            x2 = list(carry2)
         xbar = [xs_ref[t, i][None, :] for i in range(ds)]
         ubar, K_t, k_t = load_ctrl_row(t)
         u = controls(x2, xbar, ubar, K_t, k_t, a_sel)
         x_new = step_dynamics(x2, u)
         for i in range(ds):
-            out_xs_ref[t + 1, i] = x_new[i][0]
+            if carry_update:
+                out_xs_ref[t + 1, i] = jnp.where(
+                    traj_mask, x_new[i][0], xs_ref[t + 1, i]
+                )
+            else:
+                out_xs_ref[t + 1, i] = x_new[i][0]
+        if carry_update:
+            du2 = du2 + _tree_sum(
+                [(u[j][0] - ubar[j][0]) ** 2 for j in range(dc)]
+            )
         if dc1_io:
-            out_us_ref[t] = u[0][0]
+            if carry_update:
+                out_us_ref[t] = jnp.where(traj_mask, u[0][0], us_ref[t])
+            else:
+                out_us_ref[t] = u[0][0]
         else:
             for j in range(dc):
-                out_us_ref[t, j] = u[j][0]
+                if carry_update:
+                    out_us_ref[t, j] = jnp.where(
+                        traj_mask, u[j][0], us_ref[t, j]
+                    )
+                else:
+                    out_us_ref[t, j] = u[j][0]
         if grad_terms is not None:
             # Fused relinearization: Jacobian at (x_t, u_t) — the slabs
             # are already in registers; only terms with a nonzero
@@ -483,12 +538,26 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
                 for i in range(ds):
                     vals = [coeffs_ref[i, k] * g for k, g in slabs]
                     total = _tree_sum(vals) if vals else 0.0
-                    jac_ref[t, i * d + dd] = jnp.broadcast_to(
+                    row = jnp.broadcast_to(
                         jnp.asarray(total, x2[0].dtype), x2[0].shape
                     )[0]
+                    if carry_update:
+                        jac_ref[t, i * d + dd] = jnp.where(
+                            jac_mask, row, oldjac_ref[t, i * d + dd]
+                        )
+                    else:
+                        jac_ref[t, i * d + dd] = row
+        if carry_update:
+            return tuple(x_new) + (du2,)
         return tuple(x_new)
 
-    jax.lax.fori_loop(0, H, body2, tuple(x2))
+    init2 = tuple(x2)
+    if carry_update:
+        zero_du = jnp.zeros((TB,), dtype=x2[0].dtype)
+        out2 = jax.lax.fori_loop(0, H, body2, init2 + (zero_du,))
+        du2_ref[0] = out2[-1]
+    else:
+        jax.lax.fori_loop(0, H, body2, init2)
 
 
 @functools.partial(
@@ -507,6 +576,7 @@ def pallas_fused_line_search(
     per_lane_diag_cost: bool = False,
     reg=None,
     ll_io: bool = False,
+    carry=None,
 ):
     """Fused line search for linear-in-features models and quadratic
     costs: rolls all alphas, evaluates the iLQR objective in-register,
@@ -550,6 +620,12 @@ def pallas_fused_line_search(
     new_us (H, B), new_obj (B,), ls_success (B,), failed (B,)
     [+ jac_p (H, ds*(ds+1), B) packed — feed
     ``pallas_tvlqr_backward_quad_ll`` directly]).
+
+    ``carry`` (ll_io only): ``(act (B,) bool[, old_jac_p])`` — moves
+    the iLQR body's carry-select semantics in-kernel (see
+    ``_fused_kernel``'s carry_update doc); outputs then hold the FINAL
+    carry values and gain a trailing ``du2 (B,)`` (the convergence
+    norm's square, summed in pass 2).
     """
     if ll_io:
         Hp1, ds, B = xs.shape
@@ -594,10 +670,12 @@ def pallas_fused_line_search(
     goal2 = jnp.asarray(goal, dtype=dtype).reshape(obsdim, 1)
     row = lambda a: a[None, :].astype(dtype)  # (1, B) lanes-last
 
+    if carry is not None and not ll_io:
+        raise ValueError("carry (in-kernel carry update) requires ll_io")
     kernel = functools.partial(
         _fused_kernel, term_fns, grad_terms, ds, dc, obsdim, H, L,
         float(dt), float(ls_cost_threshold), bool(per_lane_diag_cost),
-        reg is not None, dc1_io,
+        reg is not None, dc1_io, carry is not None,
     )
     grid = (B // TB,)
 
@@ -677,6 +755,14 @@ def pallas_fused_line_search(
             jnp.asarray(regmu, dtype=dtype).reshape(obsdim, 1),
             row(regw),
         ]
+    if carry is not None:
+        act = carry[0]
+        in_specs.append(vspec((1,)))
+        inputs.append(row(act.astype(dtype)))
+        if grad_terms is not None:
+            old_jac = carry[1]
+            in_specs.append(vspec((H, ds * (ds + dc))))
+            inputs.append(old_jac)
 
     out_specs = [
         vspec((H + 1, ds)),
@@ -698,6 +784,9 @@ def pallas_fused_line_search(
     if grad_terms is not None:
         out_specs.append(vspec((H, ds * d)))
         out_shape.append(jax.ShapeDtypeStruct((H, ds * d, B), dtype))
+    if carry is not None:
+        out_specs.append(vspec((1,)))
+        out_shape.append(jax.ShapeDtypeStruct((1, B), dtype))
 
     outs = pl.pallas_call(
         kernel,
@@ -714,9 +803,11 @@ def pallas_fused_line_search(
             out_xsT, out_usT, objT[0],
             succT[0] > 0.5, failT[0] > 0.5,
         )
-        if grad_terms is None:
-            return base
-        return base + (outs[5],)                       # jac_p packed
+        if grad_terms is not None:
+            base = base + (outs[5],)                   # jac_p packed
+        if carry is not None:
+            base = base + (outs[-1][0],)               # du2 (B,)
+        return base
     new_xs = jnp.transpose(out_xsT, (2, 0, 1))         # (B, H+1, ds)
     if dc1_io:
         new_us = jnp.transpose(out_usT, (1, 0))[:, :, None]

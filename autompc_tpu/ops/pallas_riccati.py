@@ -126,7 +126,7 @@ def _backward_kernel(ds, H, jx_ref, ju_ref, cxx_ref, cuu_ref, cx_ref,
 def _backward_quad_loop(ds, obsdim, H, dt, load_jac,
                         xs_ref, us_ref, qd_ref, rd_ref, fd_ref, goal_ref,
                         ks_out_ref, kv_out_ref, lin_out_ref,
-                        quad_out_ref):
+                        quad_out_ref, select=None):
     """Shared backward recursion with the diagonal-quadratic cost
     expansions computed INLINE from the trajectory (lanes last, dc=1
     squeezed): xs (H+1, ds, TB), us (H, TB), qd/fd (obsdim, TB),
@@ -217,8 +217,18 @@ def _backward_quad_loop(ds, obsdim, H, dt, load_jac,
             [qx[i_] + Qux[i_] * kff + K[i_] * resid for i_ in range(ds)]
         )
 
-        ks_out_ref[t] = jnp.stack(K)
-        kv_out_ref[t] = kff
+        if select is not None:
+            # In-kernel carry update (lanes-last path): inactive lanes
+            # write their OLD gains back instead of paying a separate
+            # elementwise where-pass over the (H, ds, B) carry arrays.
+            act_row, oldks_ref, oldkv_ref = select
+            ks_out_ref[t] = jnp.where(
+                act_row, jnp.stack(K), oldks_ref[t]
+            )
+            kv_out_ref[t] = jnp.where(act_row[0], kff, oldkv_ref[t])
+        else:
+            ks_out_ref[t] = jnp.stack(K)
+            kv_out_ref[t] = kff
         return V_new, v_new, lin, quad
 
     # Terminal expansion: Vn = diag(2 F), vn = 2 F (x_H - g).
@@ -267,16 +277,25 @@ def _backward_quad_kernel(ds, obsdim, H, dt,
     )
 
 
-def _backward_quad_kernel_packed(ds, obsdim, H, dt,
-                                 jac_ref, xs_ref, us_ref,
-                                 qd_ref, rd_ref, fd_ref, goal_ref,
-                                 ks_out_ref, kv_out_ref, lin_out_ref,
-                                 quad_out_ref):
+def _backward_quad_kernel_packed(ds, obsdim, H, dt, carry_update,
+                                 *refs):
     """Packed-jac layout: jac (H, ds*(ds+1), TB), row k*(ds+1)+j =
     dx'[k]/dx[j] for j < ds and dx'[k]/du for j == ds — exactly what
     the fused line-search kernel emits (ops/pallas_linesearch.py),
     sublane-DENSE (20 rows at ds=4 vs the split layout's 4x8-padded 32
-    + 8)."""
+    + 8). ``carry_update``: three extra inputs (act (1, TB), old Ks
+    (H, ds, TB), old ks (H, TB)) — inactive lanes write their old
+    gains back in-kernel (see _backward_quad_loop)."""
+    (jac_ref, xs_ref, us_ref, qd_ref, rd_ref, fd_ref,
+     goal_ref) = refs[:7]
+    n_in = 7
+    select = None
+    if carry_update:
+        act_ref, oldks_ref, oldkv_ref = refs[7:10]
+        n_in = 10
+        select = (act_ref[...] > 0.5, oldks_ref, oldkv_ref)
+    (ks_out_ref, kv_out_ref, lin_out_ref,
+     quad_out_ref) = refs[n_in:n_in + 4]
     d = ds + 1
 
     def load_jac(t):
@@ -289,6 +308,7 @@ def _backward_quad_kernel_packed(ds, obsdim, H, dt,
         ds, obsdim, H, dt, load_jac,
         xs_ref, us_ref, qd_ref, rd_ref, fd_ref, goal_ref,
         ks_out_ref, kv_out_ref, lin_out_ref, quad_out_ref,
+        select=select,
     )
 
 
@@ -387,6 +407,7 @@ def pallas_tvlqr_backward_quad(
 def pallas_tvlqr_backward_quad_ll(
     jac_p, xsT, usT, QdT, RdT, FdT, goal, dt, obsdim,
     block_b: int = 128, interpret: bool = False,
+    carry=None,
 ):
     """Lanes-last, packed-jac variant of ``pallas_tvlqr_backward_quad``
     — zero layout transposes in the wrapper, so the iLQR body can keep
@@ -400,7 +421,12 @@ def pallas_tvlqr_backward_quad_ll(
     goal (obsdim,); dt and obsdim static.
 
     Returns (KsT (H, ds, B), ksT (H, B), lin_red (B,), quad_red (B,))
-    — the same values as the batch-major wrapper, lanes-last."""
+    — the same values as the batch-major wrapper, lanes-last.
+
+    ``carry``: optional ``(act (B,) bool, old_KsT (H, ds, B), old_ksT
+    (H, B))`` — in-kernel carry update: inactive lanes return their
+    OLD gains (the iLQR body's ``upd`` select fused into the kernel's
+    writes)."""
     H, dsd, B = jac_p.shape
     ds = xsT.shape[1]
     if dsd != ds * (ds + 1):
@@ -413,7 +439,8 @@ def pallas_tvlqr_backward_quad_ll(
 
     goal2 = jnp.asarray(goal, dtype=jac_p.dtype).reshape(obsdim, 1)
     kernel = functools.partial(
-        _backward_quad_kernel_packed, ds, obsdim, H, float(dt)
+        _backward_quad_kernel_packed, ds, obsdim, H, float(dt),
+        carry is not None,
     )
     grid = (B // TB,)
 
@@ -425,6 +452,29 @@ def pallas_tvlqr_backward_quad_ll(
             memory_space=pltpu.VMEM,
         )
 
+    in_specs = [
+        bspec((H, dsd)),
+        bspec((H + 1, ds)),
+        bspec((H,)),
+        bspec((obsdim,)),
+        bspec((1,)),
+        bspec((obsdim,)),
+        pl.BlockSpec(
+            (obsdim, 1), lambda i: (0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+    ]
+    inputs = [
+        jac_p, xsT, usT, QdT.astype(jac_p.dtype),
+        RdT.astype(jac_p.dtype), FdT.astype(jac_p.dtype), goal2,
+    ]
+    if carry is not None:
+        act, old_KsT, old_ksT = carry
+        in_specs += [bspec((1,)), bspec((H, ds)), bspec((H,))]
+        inputs += [
+            act.astype(jac_p.dtype)[None, :], old_KsT, old_ksT,
+        ]
+
     out_shape = (
         jax.ShapeDtypeStruct((H, ds, B), jac_p.dtype),
         jax.ShapeDtypeStruct((H, B), jac_p.dtype),
@@ -434,18 +484,7 @@ def pallas_tvlqr_backward_quad_ll(
     ksT, kvT, linT, quadT = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            bspec((H, dsd)),
-            bspec((H + 1, ds)),
-            bspec((H,)),
-            bspec((obsdim,)),
-            bspec((1,)),
-            bspec((obsdim,)),
-            pl.BlockSpec(
-                (obsdim, 1), lambda i: (0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(
             bspec((H, ds)),
             bspec((H,)),
@@ -454,8 +493,7 @@ def pallas_tvlqr_backward_quad_ll(
         ),
         out_shape=out_shape,
         interpret=interpret,
-    )(jac_p, xsT, usT, QdT.astype(jac_p.dtype),
-      RdT.astype(jac_p.dtype), FdT.astype(jac_p.dtype), goal2)
+    )(*inputs)
 
     return ksT, kvT, linT[0], quadT[0]
 

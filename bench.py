@@ -118,14 +118,11 @@ def main():
             backward=backward,
             feature_spec=feature_spec,
             fuse_ls=(ls_mode == "fused"),
-            # Round-4 block sweep under the lanes-last carry: 256 reads
-            # 51.9k vs 49.3k at 128 (B=65536); 512 fails to compile
-            # (scoped VMEM). The batch-major carry was tuned at 128.
-            block_b=int(os.environ.get(
-                "BENCH_BLOCK",
-                "256" if os.environ.get("BENCH_LL", "on") == "on"
-                else "128",
-            )),
+            # Round-4 block sweep: under the in-kernel carry update the
+            # fused kernel stages the old jac too, so block 256 exceeds
+            # scoped VMEM (24.7M/16M) — 128 is the working optimum
+            # (52.2k vs 44.5k batch-major, interleaved B=65536).
+            block_b=int(os.environ.get("BENCH_BLOCK", "128")),
             # BENCH_RELIN: "auto" (Pallas relinearization kernel when
             # the line-search feature_spec is on — the heaviest phase,
             # tools/profile_ilqr_phases.py), "xla" (jacfwd).
