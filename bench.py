@@ -211,10 +211,30 @@ def main():
         file=sys.stderr,
     )
 
+    # Steady-state warmup (round 4): the first timed loop after a
+    # single warm run reads systematically low REGARDLESS of inputs
+    # (measured back-to-back in one process: 46.7k -> 52.1k solves/s
+    # for the IDENTICAL rep loop run twice — a device/tunnel ramp
+    # effect, not a cache or input effect). Run a couple of untimed
+    # executions so the timed loop measures steady state.
+    for r in range(int(os.environ.get("BENCH_WARM_REPS", "2"))):
+        out = batch_solve(params, x0s - 0.01 * (r + 1), uguess)
+        jax.block_until_ready(out)
+
+    # Distinct fresh draws per rep (the measurement discipline PERF.md
+    # documents for every interleaved A/B): near-identical shifted
+    # inputs re-run one specific draw's convergence histogram, which
+    # can sit several percent off the distribution's mean at fixed
+    # compaction cuts.
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    x0_pool = [
+        jnp.asarray(
+            rng.uniform(-1, 1, (B, 4)) * np.array([3.1, 1.0, 1.0, 1.0])
+        )
+        for _ in range(reps)
+    ]
     start = time.perf_counter()
-    for r in range(reps):
-        x0r = x0s + 0.01 * r
+    for x0r in x0_pool:
         out = batch_solve(params, x0r, uguess)
         jax.block_until_ready(out)
     elapsed = time.perf_counter() - start
