@@ -23,6 +23,7 @@ mode on CPU, compiled on TPU).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -123,6 +124,69 @@ def _backward_kernel(ds, H, jx_ref, ju_ref, cxx_ref, cuu_ref, cx_ref,
     quad_out_ref[0] = quad
 
 
+def _stack2(rows):
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+def _bq_step(ds, obsdim, Jx, Ju, cx, cu, rd2, qd, V, v):
+    """One diagonal-quad backward-recursion step on generic batch
+    slabs — shared by the whole-horizon loop kernel (slabs are (TB,)
+    lane vectors) and the streamed WIDE kernel (slabs are full (8, 128)
+    tiles, 8x the per-instruction lanes). ``Jx`` is a nested [k][j]
+    list, ``Ju``/``cx``/``qd`` lists, ``V``/``v`` index as V[k, j] /
+    v[k]. Returns (K, kff, V_new, v_new, dlin, dquad)."""
+    JuV = [
+        sum(Ju[k] * V[k, j] for k in range(ds)) for j in range(ds)
+    ]
+    Quu = rd2 + sum(JuV[k] * Ju[k] for k in range(ds))
+    inv_quu = 1.0 / Quu
+    Qux = [
+        sum(JuV[k] * Jx[k][j] for k in range(ds)) for j in range(ds)
+    ]
+    qu = cu + sum(Ju[k] * v[k] for k in range(ds))
+    K = [-Qux[j] * inv_quu for j in range(ds)]
+    kff = -qu * inv_quu
+
+    dlin = qu * kff
+    dquad = kff * Quu * kff
+
+    JxV = [
+        [sum(Jx[k][i_] * V[k, j] for k in range(ds)) for j in range(ds)]
+        for i_ in range(ds)
+    ]
+    # Qxx = diag(2 Q dt) + Jx' V Jx (the stage hessian is the
+    # constant diagonal, folded into the diagonal entries).
+    Qxx = [
+        [
+            sum(JxV[i_][k] * Jx[k][j] for k in range(ds))
+            + ((qd[i_] if i_ < obsdim else 0.0) if i_ == j else 0.0)
+            for j in range(ds)
+        ]
+        for i_ in range(ds)
+    ]
+    qx = [
+        cx[i_] + sum(Jx[k][i_] * v[k] for k in range(ds))
+        for i_ in range(ds)
+    ]
+    V_new = _stack2(
+        [
+            [
+                Qxx[i_][j]
+                + Qux[i_] * K[j]
+                + K[i_] * Qux[j]
+                + K[i_] * K[j] * Quu
+                for j in range(ds)
+            ]
+            for i_ in range(ds)
+        ]
+    )
+    resid = qu + Quu * kff
+    v_new = jnp.stack(
+        [qx[i_] + Qux[i_] * kff + K[i_] * resid for i_ in range(ds)]
+    )
+    return K, kff, V_new, v_new, dlin, dquad
+
+
 def _backward_quad_loop(ds, obsdim, H, dt, load_jac,
                         xs_ref, us_ref, qd_ref, rd_ref, fd_ref, goal_ref,
                         ks_out_ref, kv_out_ref, lin_out_ref,
@@ -167,55 +231,11 @@ def _backward_quad_loop(ds, obsdim, H, dt, load_jac,
         cx = cx_at(t)
         cu = rd2 * us_ref[t]
 
-        JuV = [
-            sum(Ju[k] * V[k, j] for k in range(ds)) for j in range(ds)
-        ]
-        Quu = rd2 + sum(JuV[k] * Ju[k] for k in range(ds))
-        inv_quu = 1.0 / Quu
-        Qux = [
-            sum(JuV[k] * Jx[k][j] for k in range(ds)) for j in range(ds)
-        ]
-        qu = cu + sum(Ju[k] * v[k] for k in range(ds))
-        K = [-Qux[j] * inv_quu for j in range(ds)]
-        kff = -qu * inv_quu
-
-        lin = lin + qu * kff
-        quad = quad + kff * Quu * kff
-
-        JxV = [
-            [sum(Jx[k][i_] * V[k, j] for k in range(ds)) for j in range(ds)]
-            for i_ in range(ds)
-        ]
-        # Qxx = diag(2 Q dt) + Jx' V Jx (the stage hessian is the
-        # constant diagonal, folded into the diagonal entries).
-        Qxx = [
-            [
-                sum(JxV[i_][k] * Jx[k][j] for k in range(ds))
-                + ((qd[i_] if i_ < obsdim else 0.0) if i_ == j else 0.0)
-                for j in range(ds)
-            ]
-            for i_ in range(ds)
-        ]
-        qx = [
-            cx[i_] + sum(Jx[k][i_] * v[k] for k in range(ds))
-            for i_ in range(ds)
-        ]
-        V_new = stack2(
-            [
-                [
-                    Qxx[i_][j]
-                    + Qux[i_] * K[j]
-                    + K[i_] * Qux[j]
-                    + K[i_] * K[j] * Quu
-                    for j in range(ds)
-                ]
-                for i_ in range(ds)
-            ]
+        K, kff, V_new, v_new, dlin, dquad = _bq_step(
+            ds, obsdim, Jx, Ju, cx, cu, rd2, qd, V, v
         )
-        resid = qu + Quu * kff
-        v_new = jnp.stack(
-            [qx[i_] + Qux[i_] * kff + K[i_] * resid for i_ in range(ds)]
-        )
+        lin = lin + dlin
+        quad = quad + dquad
 
         if select is not None:
             # In-kernel carry update (lanes-last path): inactive lanes
@@ -400,14 +420,107 @@ def pallas_tvlqr_backward_quad(
     return Ks, ks, linT[0], quadT[0]
 
 
+def _backward_quad_kernel_wide(ds, obsdim, H, T, dt, carry_update,
+                               *refs):
+    """Streamed WIDE variant: a (batch-blocks, H/T) grid with the value
+    carry in VMEM scratch and every batch slab a FULL (8, 128) tile —
+    1024 lanes per vector instruction instead of the loop kernel's
+    (TB,) rows, which Mosaic stores as (1, 128) and issues at 1/8
+    occupancy. T timesteps run statically unrolled per cell: a 1-step
+    cell measured 22.8 ms at B=65536 (vs the loop kernel's 23.8) —
+    grid-cell overhead (~1.8 us x 12,800 cells) swallowed the layout
+    win, so cells are chunked.
+
+    Per-cell blocks: jac (T, ds*(ds+1), 8, 128), xs (T, ds, 8, 128),
+    us (T, 8, 128); per-batch-block (time-constant): xterm
+    (ds, 8, 128), qd/fd (obsdim, 8, 128), rd (1, 8, 128), goal
+    (obsdim, 1) SMEM [+ act (1, 8, 128), old Ks/ks time rows when
+    carry_update]; outs ks (T, ds, 8, 128), kv (T, 8, 128), lin/quad
+    (1, 8, 128) revisited accumulators; scratch V (ds, ds, 8, 128),
+    v (ds, 8, 128)."""
+    (jac_ref, xs_ref, us_ref, xterm_ref, qd_ref, rd_ref, fd_ref,
+     goal_ref) = refs[:8]
+    n_in = 8
+    if carry_update:
+        act_ref, oldks_ref, oldkv_ref = refs[8:11]
+        n_in = 11
+    (ks_out_ref, kv_out_ref, lin_out_ref, quad_out_ref,
+     V_s, v_s) = refs[n_in:n_in + 6]
+
+    d = ds + 1
+    c_idx = pl.program_id(1)
+    qd = [qd_ref[i] * (2.0 * dt) for i in range(obsdim)]  # (8,128)
+    rd2 = rd_ref[0] * (2.0 * dt)
+    goal = [goal_ref[i, 0] for i in range(obsdim)]
+    zero = jnp.zeros_like(rd2)
+
+    @pl.when(c_idx == 0)
+    def _init():
+        # Terminal expansion: Vn = diag(2 F), vn = 2 F (x_H - g).
+        fd2 = [fd_ref[i] * 2.0 for i in range(obsdim)]
+        V_s[...] = _stack2(
+            [
+                [
+                    (fd2[i] if (i == j and i < obsdim) else zero)
+                    for j in range(ds)
+                ]
+                for i in range(ds)
+            ]
+        )
+        v_s[...] = jnp.stack(
+            [
+                fd2[i] * (xterm_ref[i] - goal[i]) if i < obsdim
+                else zero
+                for i in range(ds)
+            ]
+        )
+        lin_out_ref[0] = zero
+        quad_out_ref[0] = zero
+
+    V = V_s[...]
+    v = v_s[...]
+    lin = lin_out_ref[0]
+    quad = quad_out_ref[0]
+    if carry_update:
+        act = act_ref[0] > 0.5                          # (8, 128)
+    for tt in range(T - 1, -1, -1):                     # reversed chunk
+        row = jac_ref[tt]                               # (dsd, 8, 128)
+        Jx = [[row[k * d + j] for j in range(ds)] for k in range(ds)]
+        Ju = [row[k * d + ds] for k in range(ds)]
+        cx = [
+            qd[i] * (xs_ref[tt, i] - goal[i]) if i < obsdim else zero
+            for i in range(ds)
+        ]
+        cu = rd2 * us_ref[tt]
+
+        K, kff, V, v, dlin, dquad = _bq_step(
+            ds, obsdim, Jx, Ju, cx, cu, rd2, qd, V, v
+        )
+        lin = lin + dlin
+        quad = quad + dquad
+
+        if carry_update:
+            ks_out_ref[tt] = jnp.where(
+                act[None], jnp.stack(K), oldks_ref[tt]
+            )
+            kv_out_ref[tt] = jnp.where(act, kff, oldkv_ref[tt])
+        else:
+            ks_out_ref[tt] = jnp.stack(K)
+            kv_out_ref[tt] = kff
+    lin_out_ref[0] = lin
+    quad_out_ref[0] = quad
+    V_s[...] = V
+    v_s[...] = v
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("dt", "obsdim", "block_b", "interpret"),
+    static_argnames=("dt", "obsdim", "block_b", "interpret", "wide"),
 )
 def pallas_tvlqr_backward_quad_ll(
     jac_p, xsT, usT, QdT, RdT, FdT, goal, dt, obsdim,
     block_b: int = 128, interpret: bool = False,
-    carry=None,
+    carry=None, wide: str = "auto",
 ):
     """Lanes-last, packed-jac variant of ``pallas_tvlqr_backward_quad``
     — zero layout transposes in the wrapper, so the iLQR body can keep
@@ -426,12 +539,25 @@ def pallas_tvlqr_backward_quad_ll(
     ``carry``: optional ``(act (B,) bool, old_KsT (H, ds, B), old_ksT
     (H, B))`` — in-kernel carry update: inactive lanes return their
     OLD gains (the iLQR body's ``upd`` select fused into the kernel's
-    writes)."""
+    writes).
+
+    ``wide``: "auto" (the streamed full-(8,128)-tile kernel whenever
+    B is a multiple of 1024 — 8x the per-instruction lanes of the
+    whole-horizon loop kernel), "on" (require it), or "off"."""
     H, dsd, B = jac_p.shape
     ds = xsT.shape[1]
     if dsd != ds * (ds + 1):
         raise ValueError(
             f"jac_p rows {dsd} != ds*(ds+1) = {ds * (ds + 1)}"
+        )
+    if wide not in ("auto", "on", "off"):
+        raise ValueError(f"wide must be auto/on/off, got {wide!r}")
+    if wide == "on" and B % 1024 != 0:
+        raise ValueError(f"wide='on' needs B % 1024 == 0, got {B}")
+    if wide != "off" and B % 1024 == 0:
+        return _backward_quad_ll_wide(
+            jac_p, xsT, usT, QdT, RdT, FdT, goal, dt, obsdim,
+            interpret, carry,
         )
     TB = min(block_b, B)
     if B % TB != 0:
@@ -496,6 +622,119 @@ def pallas_tvlqr_backward_quad_ll(
     )(*inputs)
 
     return ksT, kvT, linT[0], quadT[0]
+
+
+def _backward_quad_ll_wide(jac_p, xsT, usT, QdT, RdT, FdT, goal, dt,
+                           obsdim, interpret, carry):
+    """Wide dispatch body for ``pallas_tvlqr_backward_quad_ll`` (see
+    ``_backward_quad_kernel_wide``). Host-side reshapes split the lane
+    axis B -> (B//128, 128) — contiguous, layout-free. ``S`` batch
+    sublanes per slab: S=8 is one full vreg per op; larger S splits
+    each op into S/8 INDEPENDENT vreg ops whose chains interleave —
+    the recursion is dependency-latency bound, so the ILP is the win
+    (AMPC_BQ_WIDE_S / AMPC_BQ_WIDE_T override for sweeps)."""
+    H, dsd, B = jac_p.shape
+    ds = xsT.shape[1]
+    # Default S=16 (two independent vregs per op interleave the
+    # dependency chains: 19.8 ms vs 20.3 at S=8, 23.8 loop-kernel,
+    # B=65536); auto-downgrade when the batch doesn't divide. S=32
+    # exceeds VMEM at T=25.
+    S = int(os.environ.get("AMPC_BQ_WIDE_S", "16"))
+    while S > 8 and B % (128 * S) != 0:
+        S //= 2
+    nb = B // (128 * S)
+    nl = B // 128
+    dtype = jac_p.dtype
+
+    jac4 = jac_p.reshape(H, dsd, nl, 128)
+    xs4 = xsT[:H].reshape(H, ds, nl, 128)
+    xterm = xsT[H].reshape(ds, nl, 128)
+    us4 = usT.reshape(H, nl, 128)
+    Qd4 = QdT.astype(dtype).reshape(obsdim, nl, 128)
+    Rd4 = RdT.astype(dtype).reshape(1, nl, 128)
+    Fd4 = FdT.astype(dtype).reshape(obsdim, nl, 128)
+    goal2 = jnp.asarray(goal, dtype=dtype).reshape(obsdim, 1)
+
+    if B % (128 * S) != 0:
+        raise ValueError(
+            f"wide backward needs B % {128 * S} == 0, got {B}"
+        )
+    # Largest chunk that divides H, capped so the unrolled cell body
+    # stays a reasonable compile size (25 steps x ~130 slab ops).
+    T = int(os.environ.get(
+        "AMPC_BQ_WIDE_T",
+        next(t for t in (25, 20, 10, 8, 5, 4, 2, 1) if H % t == 0),
+    ))
+    nc = H // T
+    kernel = functools.partial(
+        _backward_quad_kernel_wide, ds, obsdim, H, T, float(dt),
+        carry is not None,
+    )
+    grid = (nb, nc)
+
+    def tspec(shape_mid):
+        # T time rows per cell, reversed in CHUNK units (the c grid
+        # axis runs the recursion H-1 -> 0); 8 consecutive 128-lane
+        # rows per block.
+        nd = len(shape_mid)
+        return pl.BlockSpec(
+            (T,) + shape_mid + (S, 128),
+            lambda b, c, nd=nd: (nc - 1 - c,) + (0,) * nd + (b, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def cspec(shape_prefix):
+        nd = len(shape_prefix)
+        return pl.BlockSpec(
+            shape_prefix + (S, 128),
+            lambda b, t, nd=nd: (0,) * nd + (b, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        tspec((dsd,)), tspec((ds,)), tspec(()),
+        cspec((ds,)), cspec((obsdim,)), cspec((1,)), cspec((obsdim,)),
+        pl.BlockSpec(
+            (obsdim, 1), lambda b, t: (0, 0), memory_space=pltpu.SMEM
+        ),
+    ]
+    inputs = [jac4, xs4, us4, xterm, Qd4, Rd4, Fd4, goal2]
+    if carry is not None:
+        act, old_KsT, old_ksT = carry
+        in_specs += [cspec((1,)), tspec((ds,)), tspec(())]
+        inputs += [
+            act.astype(dtype).reshape(1, nl, 128),
+            old_KsT.reshape(H, ds, nl, 128),
+            old_ksT.reshape(H, nl, 128),
+        ]
+
+    out_shape = (
+        jax.ShapeDtypeStruct((H, ds, nl, 128), dtype),
+        jax.ShapeDtypeStruct((H, nl, 128), dtype),
+        jax.ShapeDtypeStruct((1, nl, 128), dtype),
+        jax.ShapeDtypeStruct((1, nl, 128), dtype),
+    )
+    ks4, kv4, lin4, quad4 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            tspec((ds,)), tspec(()), cspec((1,)), cspec((1,)),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((ds, ds, S, 128), dtype),
+            pltpu.VMEM((ds, S, 128), dtype),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+    return (
+        ks4.reshape(H, ds, B),
+        kv4.reshape(H, B),
+        lin4.reshape(B),
+        quad4.reshape(B),
+    )
 
 
 def _backward_general_kernel(ds, dc, H, jx_ref, ju_ref, cxx_ref, cuu_ref,

@@ -36,7 +36,11 @@ def main():
     # (hits log at WARNING under jax_log_compiles; misses under
     # jax_explain_cache_misses — jax._src.compiler:99-112).
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.0: on the remote-compile tunnel even trivial ops pay a ~0.35s
+    # round-trip; ~100 of them re-compile EVERY bench run when the
+    # 1s threshold excludes them from the cache (measured 45s of a
+    # warm run's 55s "compile").
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     # Hit/miss lines log at DEBUG (jax._src.compiler:99-112); surface
     # ONLY the persistent-cache lines, not the per-op dispatch firehose
     # that jax_log_compiles would emit. Do NOT use

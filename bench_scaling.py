@@ -34,7 +34,11 @@ def main():
     # min to compile cold on the remote-compile path; cached reruns
     # start in seconds (same setup as bench.py).
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.0: on the remote-compile tunnel even trivial ops pay a ~0.35s
+    # round-trip; ~100 of them re-compile EVERY bench run when the
+    # 1s threshold excludes them from the cache (measured 45s of a
+    # warm run's 55s "compile").
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from autompc_tpu.benchmarks import CartpoleSwingupBenchmark
@@ -73,12 +77,13 @@ def main():
             os.environ.get("SCALE_COMPACT", "4:0.5,8:0.25,14:0.125")
         )
     elif mode_early == "joint_mlp":
-        # Per-lane full Adam runs dominate (50 epochs x max-width-128
-        # masked nets), so the candidate batch saturates earlier than
-        # the SINDy joint mode. Round-4 interleaved sweep: 256/chip
-        # 185.1 < 512 215.9/215.7 ~= 1024 218.9 evals/s; schedules
-        # barely move it (solve is ~10% of the eval) — keep the joint
-        # default cuts.
+        # Per-lane full Adam runs dominate (SCALE_MLP_ITERS=50 epochs x
+        # max-width-128 masked nets), so the eval is training-bound by
+        # construction. Measured on TPU (round 4, twice): 6.0-6.1
+        # evals/s at the defaults — each eval is a COMPLETE fresh MLP
+        # training run, the reference's most expensive objective.
+        # (An earlier in-comment sweep claiming ~216 evals/s did not
+        # reproduce on hardware and is retracted.)
         per_device = int(os.environ.get("SCALE_PER_DEVICE", "512"))
         compact = parse_schedule(
             os.environ.get("SCALE_COMPACT", "4:0.5,8:0.25,14:0.125")

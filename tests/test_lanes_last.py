@@ -95,6 +95,57 @@ def test_backward_quad_ll_matches_split():
                                rtol=1e-12)
 
 
+def test_backward_quad_wide_matches_loop_kernel():
+    """The streamed full-(8,128)-tile WIDE backward (auto at
+    B % 1024 == 0) reproduces the whole-horizon loop kernel, with and
+    without the in-kernel carry update."""
+    rng = np.random.default_rng(17)
+    # B=2048 exercises the S=16 (two-vreg) slab height; H=10 the
+    # chunked-T unrolled cell (T=10); a second case below hits T=1.
+    B, H, ds, obsdim = 2048, 10, 4, 4
+    dsd = ds * (ds + 1)
+    jac = jnp.asarray(rng.normal(0, 0.2, (H, dsd, B)))
+    xs = jnp.asarray(rng.normal(size=(H + 1, ds, B)))
+    us = jnp.asarray(rng.normal(size=(H, B)))
+    Qd = jnp.asarray(rng.uniform(0.1, 2.0, (obsdim, B)))
+    Rd = jnp.asarray(rng.uniform(0.1, 2.0, (1, B)))
+    Fd = jnp.asarray(rng.uniform(0.1, 2.0, (obsdim, B)))
+    goal = jnp.asarray(rng.normal(size=(obsdim,)))
+    act = jnp.asarray(rng.uniform(size=B) > 0.3)
+    oK = jnp.asarray(rng.normal(size=(H, ds, B)))
+    ok_ = jnp.asarray(rng.normal(size=(H, B)))
+
+    for carry in (None, (act, oK, ok_)):
+        ref = pallas_tvlqr_backward_quad_ll(
+            jac, xs, us, Qd, Rd, Fd, goal, 0.05, obsdim,
+            block_b=B, interpret=True, carry=carry, wide="off",
+        )
+        wide = pallas_tvlqr_backward_quad_ll(
+            jac, xs, us, Qd, Rd, Fd, goal, 0.05, obsdim,
+            interpret=True, carry=carry, wide="on",
+        )
+        for r, w in zip(ref, wide):
+            np.testing.assert_allclose(
+                np.asarray(w), np.asarray(r), rtol=1e-12, atol=1e-12
+            )
+    # T=1 (H prime) at S=8 (B=1024).
+    Hp = 7
+    refp = pallas_tvlqr_backward_quad_ll(
+        jac[:Hp, :, :1024], xs[:Hp + 1, :, :1024], us[:Hp, :1024],
+        Qd[:, :1024], Rd[:, :1024], Fd[:, :1024], goal, 0.05, obsdim,
+        block_b=1024, interpret=True, wide="off",
+    )
+    widep = pallas_tvlqr_backward_quad_ll(
+        jac[:Hp, :, :1024], xs[:Hp + 1, :, :1024], us[:Hp, :1024],
+        Qd[:, :1024], Rd[:, :1024], Fd[:, :1024], goal, 0.05, obsdim,
+        interpret=True, wide="on",
+    )
+    for r, w in zip(refp, widep):
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(r), rtol=1e-12, atol=1e-12
+        )
+
+
 def test_fused_ll_io_matches_batch_major(setup):
     """pallas_fused_line_search(ll_io=True) == the batch-major call on
     the same state, including the packed-jac output."""
