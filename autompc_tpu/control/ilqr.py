@@ -263,6 +263,7 @@ def make_batched_ilqr_solver(
     pred_diff=None,
     mlp_ls=None,
     lanes_last: bool = False,
+    ls_wide: bool = False,
     pallas_interpret: bool = False,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
@@ -814,20 +815,40 @@ def make_batched_ilqr_solver(
             else:
                 cost_args = (cost._Q, cost._R, cost._F, cost._goal)
                 per_lane = False
-            (new_xsT, new_usT, new_obj, ls_success, failed_now,
-             jac_new, du2) = pallas_fused_line_search(
-                fns_a, x0T, xsT, usT, KsT, ksT,
-                coeffs, alphas, ls_umin, ls_umax,
-                *cost_args, dt,
-                c["obj"], lin_red, quad_red, ks_small,
-                grad_terms=gts_a,
-                ls_cost_threshold=ls_cost_threshold,
-                block_b=TB if B % TB == 0 else B,
-                per_lane_diag_cost=per_lane,
-                ll_io=True,
-                interpret=pallas_interpret,
-                carry=(active, c["jac"]),
-            )
+            if ls_wide and B % 1024 == 0:
+                # WIDE split line search (full-(S,128)-tile streamed
+                # kernels + XLA acceptance; ops/pallas_linesearch.py).
+                from ..ops.pallas_linesearch import (
+                    pallas_fused_line_search_wide,
+                )
+
+                (new_xsT, new_usT, new_obj, ls_success, failed_now,
+                 jac_new, du2) = pallas_fused_line_search_wide(
+                    fns_a, x0T, xsT, usT, KsT, ksT,
+                    coeffs, alphas, ls_umin, ls_umax,
+                    *cost_args, dt,
+                    c["obj"], lin_red, quad_red, ks_small,
+                    active, c["jac"],
+                    grad_terms=gts_a,
+                    ls_cost_threshold=ls_cost_threshold,
+                    per_lane_diag_cost=per_lane,
+                    interpret=pallas_interpret,
+                )
+            else:
+                (new_xsT, new_usT, new_obj, ls_success, failed_now,
+                 jac_new, du2) = pallas_fused_line_search(
+                    fns_a, x0T, xsT, usT, KsT, ksT,
+                    coeffs, alphas, ls_umin, ls_umax,
+                    *cost_args, dt,
+                    c["obj"], lin_red, quad_red, ks_small,
+                    grad_terms=gts_a,
+                    ls_cost_threshold=ls_cost_threshold,
+                    block_b=TB if B % TB == 0 else B,
+                    per_lane_diag_cost=per_lane,
+                    ll_io=True,
+                    interpret=pallas_interpret,
+                    carry=(active, c["jac"]),
+                )
 
             # The kernels already applied the carry selects; outputs
             # ARE the next carry. du2 is the kernel-accumulated

@@ -26,6 +26,7 @@ reassociation (tests pin it against the scan path).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -821,3 +822,416 @@ def pallas_fused_line_search(
         return base
     jac = jnp.transpose(outs[5], (2, 0, 1)).reshape(B, H, ds, d)
     return base + (jac[..., :ds], jac[..., ds:])
+
+
+# ---------------------------------------------------------------------------
+# WIDE line search (round 4): the whole-horizon fused kernel's slabs are
+# (L, TB) in pass 1 but (1, TB) in the re-roll/relinearization pass —
+# 1/8 vreg occupancy chained serially, the same issue-boundedness the
+# WIDE backward kernel fixed (ops/pallas_riccati.py). The fusion splits
+# into two STREAMED kernels with full (S, 128) batch tiles per op and
+# the acceptance rule between them in XLA ((L, B) arrays — trivial):
+#
+#   A `_ls_obj_kernel_wide`   — all-alphas objective sweep, forward
+#     (batch-blocks, H/T) grid, per-alpha state carried in VMEM scratch
+#     as (ds, L, S, 128); emits objs (L, B).
+#   B `_ls_reroll_kernel_wide` — selected-alpha re-roll + packed-jac
+#     relinearization + the in-kernel carry update (masks precomputed),
+#     du2 accumulation; out xs/us are whole-window revisited refs so the
+#     t+1-shifted write needs no block gymnastics.
+#
+# dc=1 only; requires grad_terms + the carry-update masks (the lanes-last
+# iLQR path). Opt-in via make_batched_ilqr_solver(ls_wide=True).
+# ---------------------------------------------------------------------------
+
+
+def _ls_obj_kernel_wide(term_fns, ds, obsdim, H, T, L, dt, diag_cost,
+                        has_plc, *refs):
+    (xs_ref, us_ref, Ks_ref, ks_ref, x0_ref, coeffs_ref, alphas_ref,
+     umin_ref, umax_ref, Q_ref, R_ref, F_ref, goal_ref) = refs[:13]
+    objs_out_ref = refs[13]
+    x_s, obj_s = refs[14:16]
+
+    nc = H // T
+    c_idx = pl.program_id(1)
+    F_feat = coeffs_ref.shape[1]
+    S, NL = xs_ref.shape[-2], xs_ref.shape[-1]
+    alphas = [alphas_ref[l, 0] for l in range(L)]
+    # Full (L, S, 128) alpha slab — (L, 1, 1) reshapes of stacked SMEM
+    # scalars are an unsupported Mosaic layout cast.
+    alpha3 = jnp.stack(
+        [jnp.full((S, NL), a, dtype=us_ref.dtype) for a in alphas]
+    )
+    umin = umin_ref[0, 0]
+    umax = umax_ref[0, 0]
+    goal = [goal_ref[i, 0] for i in range(obsdim)]
+
+    def qform(vec, M_ref, n):
+        if diag_cost:
+            return _tree_sum(
+                [M_ref[i][None] * vec[i] * vec[i] for i in range(n)]
+            )
+        terms = []
+        for i in range(n):
+            for j in range(n):
+                terms.append(M_ref[i, j] * vec[i] * vec[j])
+        return _tree_sum(terms)
+
+    def step_dyn(x, u):
+        z = _VecZ(x + u)
+        theta = [fn(z) for fn in term_fns]
+        if has_plc:
+            return [
+                _tree_sum([
+                    coeffs_ref[i, k][None] * theta[k]
+                    for k in range(F_feat)
+                ])
+                for i in range(ds)
+            ]
+        return [
+            _tree_sum([
+                coeffs_ref[i, k] * theta[k] for k in range(F_feat)
+            ])
+            for i in range(ds)
+        ]
+
+    @pl.when(c_idx == 0)
+    def _init():
+        x_s[...] = jnp.stack(
+            [
+                jnp.broadcast_to(x0_ref[i][None], (L, S, NL))
+                for i in range(ds)
+            ]
+        )
+        obj_s[...] = jnp.zeros((L, S, NL), dtype=us_ref.dtype)
+
+    xw = x_s[...]
+    x = [xw[i] for i in range(ds)]                     # (L, S, 128)
+    obj = obj_s[...]
+    for tt in range(T):
+        xbar = [xs_ref[tt, i][None] for i in range(ds)]
+        ubar = us_ref[tt][None]
+        k_t = ks_ref[tt][None]
+        dx = [x[i] - xbar[i] for i in range(ds)]
+        fb = _tree_sum(
+            [Ks_ref[tt, i][None] * dx[i] for i in range(ds)]
+        )
+        u = jnp.clip(alpha3 * k_t + ubar + fb, umin, umax)
+        dxg = [x[i] - goal[i] for i in range(obsdim)]
+        oc = qform(dxg, Q_ref, obsdim)
+        cc = qform([u], R_ref, 1)
+        obj = obj + dt * (oc + cc)
+        x = step_dyn(x, [u])
+
+    @pl.when(c_idx == nc - 1)
+    def _fin():
+        dxg = [x[i] - goal[i] for i in range(obsdim)]
+        objs_out_ref[...] = obj + qform(dxg, F_ref, obsdim)
+
+    x_s[...] = jnp.stack(x)
+    obj_s[...] = obj
+
+
+def _ls_reroll_kernel_wide(term_fns, grad_terms, ds, obsdim, H, T,
+                           has_plc, *refs):
+    (xs_ref, xlast_ref, us_ref, Ks_ref, ks_ref, oldjac_ref, x0_ref,
+     coeffs_ref, asel_ref, tmask_ref, jmask_ref, umin_ref,
+     umax_ref) = refs[:13]
+    (oxs_ref, oxl_ref, ous_ref, jac_ref, du2_ref, x_s) = refs[13:19]
+
+    nc = H // T
+    c_idx = pl.program_id(1)
+    F_feat = coeffs_ref.shape[1]
+    umin = umin_ref[0, 0]
+    umax = umax_ref[0, 0]
+    a_sel = asel_ref[0]                                # (S, 128)
+    tmask = tmask_ref[0] > 0.5
+    jmask = jmask_ref[0] > 0.5
+    d = ds + 1
+
+    def step_dyn(x, u):
+        z = _VecZ(x + u)
+        theta = [fn(z) for fn in term_fns]
+        return [
+            _tree_sum([
+                coeffs_ref[i, k] * theta[k] for k in range(F_feat)
+            ])
+            for i in range(ds)
+        ]
+
+    # All reads/writes are BLOCK-relative: row t of the new trajectory
+    # is written BEFORE stepping (so there is no t+1-shifted write and
+    # every block is an aligned (T, ...) slice); the terminal row goes
+    # out through the separate ``oxl`` output at the last cell.
+    @pl.when(c_idx == 0)
+    def _init():
+        x_s[...] = x0_ref[...]
+        du2_ref[0] = jnp.zeros_like(us_ref[0])
+
+    xw = x_s[...]
+    x = [xw[i] for i in range(ds)]                     # (S, 128)
+    du2 = du2_ref[0]
+    for tt in range(T):
+        for i in range(ds):
+            oxs_ref[tt, i] = jnp.where(tmask, x[i], xs_ref[tt, i])
+        xbar = [xs_ref[tt, i] for i in range(ds)]
+        ubar = us_ref[tt]
+        dx = [x[i] - xbar[i] for i in range(ds)]
+        fb = _tree_sum([Ks_ref[tt, i] * dx[i] for i in range(ds)])
+        u = jnp.clip(a_sel * ks_ref[tt] + ubar + fb, umin, umax)
+        du2 = du2 + (u - ubar) ** 2
+        ous_ref[tt] = jnp.where(tmask, u, ubar)
+        # Packed-jac relinearization at (x_t, u_t), sparse term grads.
+        z = _VecZ(x + [u])
+        for dd in range(d):
+            slabs = [
+                (k, gfn(z))
+                for k, entries in enumerate(grad_terms)
+                for (ci, gfn) in entries
+                if ci == dd
+            ]
+            for i in range(ds):
+                vals = [coeffs_ref[i, k] * g for k, g in slabs]
+                total = _tree_sum(vals) if vals else 0.0
+                row = jnp.broadcast_to(
+                    jnp.asarray(total, x[0].dtype), x[0].shape
+                )
+                jac_ref[tt, i * d + dd] = jnp.where(
+                    jmask, row, oldjac_ref[tt, i * d + dd]
+                )
+        x = step_dyn(x, [u])
+    du2_ref[0] = du2
+    x_s[...] = jnp.stack(x)
+
+    @pl.when(c_idx == nc - 1)
+    def _fin():
+        for i in range(ds):
+            oxl_ref[i] = jnp.where(tmask, x[i], xlast_ref[i])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "term_fns", "grad_terms", "dt", "ls_cost_threshold",
+        "interpret", "per_lane_diag_cost",
+    ),
+)
+def pallas_fused_line_search_wide(
+    term_fns, x0, xs, us, Ks, ks, coeffs, alphas, umin, umax,
+    Q, R, F, goal, dt, obj0, lin_red, quad_red, ks_small, act, old_jac,
+    grad_terms=None,
+    ls_cost_threshold: float = 0.3,
+    per_lane_diag_cost: bool = False,
+    interpret: bool = False,
+):
+    """WIDE split of ``pallas_fused_line_search(ll_io=True,
+    carry=...)`` — identical contract and return tuple (new_xs
+    (H+1, ds, B), new_us (H, B), new_obj (B,), ls_success (B,),
+    failed (B,), jac_p (H, ds*(ds+1), B), du2 (B,)); see the module
+    comment above ``_ls_obj_kernel_wide``. dc=1, grad_terms required,
+    B % 1024 == 0."""
+    Hp1, ds, B = xs.shape
+    H = Hp1 - 1
+    L = alphas.shape[0]
+    dsd = ds * (ds + 1)
+    obsdim = Q.shape[0] if per_lane_diag_cost else Q.shape[-1]
+    dtype = xs.dtype
+    if grad_terms is None:
+        raise ValueError("wide line search requires grad_terms")
+    if B % 1024 != 0:
+        raise ValueError(f"wide line search needs B % 1024 == 0, got {B}")
+    nl = B // 128
+
+    S_A = int(os.environ.get("AMPC_LS_WIDE_SA", "16"))
+    while S_A > 8 and B % (128 * S_A) != 0:
+        S_A //= 2
+    S_B = 8
+    T_A = int(os.environ.get(
+        "AMPC_LS_WIDE_TA",
+        next(t for t in (25, 20, 10, 8, 5, 4, 2, 1) if H % t == 0),
+    ))
+    T_B = int(os.environ.get(
+        "AMPC_LS_WIDE_TB",
+        next(t for t in (10, 8, 5, 4, 2, 1) if H % t == 0),
+    ))
+
+    alphas1 = jnp.asarray(alphas, dtype)[:, None]
+    umin2 = jnp.asarray(umin, dtype).reshape(-1, 1)[:1]
+    umax2 = jnp.asarray(umax, dtype).reshape(-1, 1)[:1]
+    goal2 = jnp.asarray(goal, dtype=dtype).reshape(obsdim, 1)
+    has_plc = coeffs.ndim == 3
+
+    def sspec2(shape):
+        return pl.BlockSpec(shape, lambda b, c: (0,) * len(shape),
+                            memory_space=pltpu.SMEM)
+
+    def mk_tspecT(S, T):
+        def tspec(mid):
+            nd = len(mid)
+            return pl.BlockSpec(
+                (T,) + mid + (S, 128),
+                lambda b, c, nd=nd: (c,) + (0,) * nd + (b, 0),
+                memory_space=pltpu.VMEM,
+            )
+        return tspec
+
+    def mk_cspec(S):
+        def cspec(prefix):
+            nd = len(prefix)
+            return pl.BlockSpec(
+                prefix + (S, 128),
+                lambda b, c, nd=nd: (0,) * nd + (b, 0),
+                memory_space=pltpu.VMEM,
+            )
+        return cspec
+
+    # ---- kernel A: all-alphas objective sweep -----------------------
+    tsA = mk_tspecT(S_A, T_A)
+    csA = mk_cspec(S_A)
+    if has_plc:
+        coeffs_in = coeffs.astype(dtype).reshape(
+            ds, coeffs.shape[1], nl, 128
+        )
+        coeffs_spec_A = csA((ds, coeffs.shape[1]))
+    else:
+        coeffs_in = coeffs.astype(dtype)
+        coeffs_spec_A = sspec2(coeffs.shape)
+    if per_lane_diag_cost:
+        Q_in = Q.astype(dtype).reshape(obsdim, nl, 128)
+        R_in = R.astype(dtype).reshape(1, nl, 128)
+        F_in = F.astype(dtype).reshape(obsdim, nl, 128)
+        QsA, RsA, FsA = csA((obsdim,)), csA((1,)), csA((obsdim,))
+    else:
+        Q_in = jnp.asarray(Q, dtype)
+        R_in = jnp.asarray(R, dtype)
+        F_in = jnp.asarray(F, dtype)
+        QsA, RsA, FsA = (
+            sspec2((obsdim, obsdim)), sspec2((1, 1)),
+            sspec2((obsdim, obsdim)),
+        )
+
+    kernel_a = functools.partial(
+        _ls_obj_kernel_wide, term_fns, ds, obsdim, H, T_A, L,
+        float(dt), bool(per_lane_diag_cost), has_plc,
+    )
+    objs4 = pl.pallas_call(
+        kernel_a,
+        grid=(B // (128 * S_A), H // T_A),
+        in_specs=[
+            tsA((ds,)), tsA(()), tsA((ds,)), tsA(()),
+            csA((ds,)), coeffs_spec_A, sspec2((L, 1)),
+            sspec2((1, 1)), sspec2((1, 1)),
+            QsA, RsA, FsA, sspec2((obsdim, 1)),
+        ],
+        out_specs=csA((L,)),
+        out_shape=jax.ShapeDtypeStruct((L, nl, 128), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ds, L, S_A, 128), dtype),
+            pltpu.VMEM((L, S_A, 128), dtype),
+        ],
+        interpret=interpret,
+    )(
+        xs[:H].reshape(H, ds, nl, 128),
+        us.reshape(H, nl, 128),
+        Ks.reshape(H, ds, nl, 128),
+        ks.reshape(H, nl, 128),
+        x0.reshape(ds, nl, 128),
+        coeffs_in, alphas1, umin2, umax2, Q_in, R_in, F_in, goal2,
+    )
+    objs = objs4.reshape(L, B)
+
+    # ---- acceptance (the reference rule, ilqr.py:208-233) on (L, B) --
+    a = jnp.asarray(alphas, dtype)
+    expect = a[:, None] * lin_red[None] + (a[:, None] ** 2) * (
+        quad_red[None] * 0.5
+    )
+    denom = -expect
+    ratio = jnp.where(
+        jnp.abs(denom) > 1e-30, (obj0[None] - objs) / denom, -jnp.inf
+    )
+    accept = ratio > ls_cost_threshold
+    any_acc = jnp.any(accept, axis=0)
+    first_acc = jnp.argmax(accept, axis=0)
+    best_idx = jnp.argmin(objs, axis=0)
+    chosen = jnp.where(
+        ks_small, 0, jnp.where(any_acc, first_acc, best_idx)
+    )
+    take = lambda idx: jnp.take_along_axis(objs, idx[None], axis=0)[0]
+    chosen_obj = take(chosen)
+    ls_success = (chosen_obj < obj0) | ks_small
+    idx_last = jnp.where(
+        ks_small, 0, jnp.where(any_acc, first_acc, L - 1)
+    )
+    last_obj = take(idx_last)
+    failed = (~ls_success) & (last_obj > obj0 + 1e-3)
+    sel = jnp.where(ls_success, chosen, idx_last)
+    new_obj_raw = jnp.where(ls_success, chosen_obj, last_obj)
+    alpha_sel = a[sel]
+    traj_mask = act & ~failed
+    jac_mask = traj_mask & ls_success
+    new_obj = jnp.where(traj_mask, new_obj_raw, obj0)
+
+    # ---- kernel B: selected-alpha re-roll + relin + carry update ----
+    S_B = int(os.environ.get("AMPC_LS_WIDE_SB", "16"))
+    while S_B > 8 and B % (128 * S_B) != 0:
+        S_B //= 2
+    tsB = mk_tspecT(S_B, T_B)
+    csB = mk_cspec(S_B)
+    coeffs_spec_B = (
+        csB((ds, coeffs.shape[1])) if has_plc
+        else sspec2(coeffs.shape)
+    )
+    kernel_b = functools.partial(
+        _ls_reroll_kernel_wide, term_fns, grad_terms, ds, obsdim, H,
+        T_B, has_plc,
+    )
+    oxs4, oxl4, ous4, jac4, du24 = pl.pallas_call(
+        kernel_b,
+        grid=(B // (128 * S_B), H // T_B),
+        in_specs=[
+            tsB((ds,)), csB((ds,)), tsB(()),
+            tsB((ds,)), tsB(()), tsB((dsd,)),
+            csB((ds,)), coeffs_spec_B,
+            csB((1,)), csB((1,)), csB((1,)),
+            sspec2((1, 1)), sspec2((1, 1)),
+        ],
+        out_specs=(
+            tsB((ds,)), csB((ds,)), tsB(()), tsB((dsd,)), csB((1,)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, ds, nl, 128), dtype),
+            jax.ShapeDtypeStruct((ds, nl, 128), dtype),
+            jax.ShapeDtypeStruct((H, nl, 128), dtype),
+            jax.ShapeDtypeStruct((H, dsd, nl, 128), dtype),
+            jax.ShapeDtypeStruct((1, nl, 128), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((ds, S_B, 128), dtype)],
+        interpret=interpret,
+    )(
+        xs[:H].reshape(H, ds, nl, 128),
+        xs[H].reshape(ds, nl, 128),
+        us.reshape(H, nl, 128),
+        Ks.reshape(H, ds, nl, 128),
+        ks.reshape(H, nl, 128),
+        old_jac.reshape(H, dsd, nl, 128),
+        x0.reshape(ds, nl, 128),
+        coeffs_in if has_plc else coeffs.astype(dtype),
+        alpha_sel.astype(dtype).reshape(1, nl, 128),
+        traj_mask.astype(dtype).reshape(1, nl, 128),
+        jac_mask.astype(dtype).reshape(1, nl, 128),
+        umin2, umax2,
+    )
+    # ~1 ms concat at B=65536 — the price of keeping every kernel
+    # block an aligned (T, ...) slice (no t+1-shifted writes).
+    new_xs = jnp.concatenate(
+        [oxs4.reshape(H, ds, B), oxl4.reshape(ds, B)[None]], axis=0
+    )
+    return (
+        new_xs,
+        ous4.reshape(H, B),
+        new_obj,
+        ls_success,
+        failed,
+        jac4.reshape(H, dsd, B),
+        du24.reshape(B),
+    )

@@ -159,6 +159,9 @@ def main():
             # default pair). BENCH_LL=off restores the batch-major
             # carry.
             lanes_last=(os.environ.get("BENCH_LL", "on") == "on"),
+            # BENCH_LSW=on: the WIDE split line search — measured a
+            # wash (+1%; PERF.md negative-result note), kept opt-in.
+            ls_wide=(os.environ.get("BENCH_LSW", "off") == "on"),
         )
         # BENCH_SCHED: device-side converged-lane compaction (default):
         # the convergence histogram is long-tailed (median lane ~15

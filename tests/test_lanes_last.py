@@ -375,3 +375,61 @@ def test_ll_validation():
             dummy_pred, cost, H=4, ds=4, dc=1, obsdim=4, dt=0.05,
             lanes_last=True,
         )
+
+
+def test_wide_line_search_matches_fused(setup):
+    """The WIDE split line search (objective-sweep kernel + XLA
+    acceptance + re-roll/relin kernel) == the whole-horizon fused
+    kernel's ll carry path, including masks, jac, and du2."""
+    from autompc_tpu.ops.pallas_linesearch import (
+        pallas_fused_line_search,
+        pallas_fused_line_search_wide,
+    )
+
+    b, model, cost, common = setup
+    rng = np.random.default_rng(23)
+    B, H, ds, L = 1024, 10, 4, 5
+    dsd = ds * (ds + 1)
+    x0 = jnp.asarray(rng.uniform(-1, 1, (ds, B)))
+    xs = jnp.asarray(rng.uniform(-1, 1, (H + 1, ds, B)))
+    us = jnp.asarray(rng.uniform(-2, 2, (H, B)))
+    Ks = jnp.asarray(rng.normal(size=(H, ds, B)) * 0.3)
+    ks = jnp.asarray(rng.normal(size=(H, B)))
+    alphas = 0.2 ** jnp.arange(L, dtype=x0.dtype)
+    Q = jnp.diag(jnp.array([10.0, 0.1, 0.01, 0.01]))
+    R = 0.001 * jnp.eye(1)
+    goal = jnp.zeros(4)
+    obj0 = jnp.asarray(rng.uniform(5.0, 50.0, (B,)))
+    lin_red = jnp.asarray(-rng.uniform(0.1, 5.0, (B,)))
+    quad_red = jnp.asarray(-rng.uniform(0.1, 5.0, (B,)))
+    ks_small = jnp.asarray(rng.uniform(size=B) < 0.2)
+    act = jnp.asarray(rng.uniform(size=B) > 0.3)
+    old_jac = jnp.asarray(rng.normal(size=(H, dsd, B)))
+    gts = model.library.grad_terms
+    fns = tuple(model.library._fns)
+
+    ref = pallas_fused_line_search(
+        fns, x0, xs, us, Ks, ks,
+        model.coeffs, alphas, -20.0, 20.0,
+        Q, R, Q, goal, 0.05, obj0, lin_red, quad_red, ks_small,
+        grad_terms=gts, block_b=B, interpret=True, ll_io=True,
+        carry=(act, old_jac),
+    )
+    wide = pallas_fused_line_search_wide(
+        fns, x0, xs, us, Ks, ks,
+        model.coeffs, alphas, jnp.array([-20.0]), jnp.array([20.0]),
+        Q, R, Q, goal, 0.05, obj0, lin_red, quad_red, ks_small,
+        act, old_jac,
+        grad_terms=gts, interpret=True,
+    )
+    names = ("xs", "us", "obj", "succ", "fail", "jac", "du2")
+    for name, r, w in zip(names, ref, wide):
+        if name in ("succ", "fail"):
+            np.testing.assert_array_equal(
+                np.asarray(w), np.asarray(r), err_msg=name
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(w), np.asarray(r), rtol=1e-9, atol=1e-9,
+                err_msg=name,
+            )

@@ -78,10 +78,16 @@ def main():
         schedule=sched,
     )
 
+    # Variants: bm (batch-major), ll (lanes-last), llw (lanes-last +
+    # WIDE split line search).
     names = os.environ.get("AB_VARIANTS", "bm,ll").split(",")
     solvers = {}
     for name in names:
-        kw = dict(base_kw, lanes_last=(name == "ll"))
+        kw = dict(
+            base_kw,
+            lanes_last=(name in ("ll", "llw")),
+            ls_wide=(name == "llw"),
+        )
         solvers[name] = jax.jit(
             make_scheduled_ilqr_solver(model.pred_core, cost, **kw)
         )
