@@ -394,6 +394,12 @@ def make_batched_ilqr_solver(
     QuadCost or ``quad_cost_batch``) + ``relin`` != "xla". Public
     solve/cost_params contracts are unchanged (batch-major at the
     boundary).
+
+    ``ls_wide`` (lanes_last only, takes effect when B % 1024 == 0):
+    the WIDE split line search (ops/pallas_linesearch.py:
+    pallas_fused_line_search_wide) — parity-identical to the fused
+    kernel; measured a wash on the headline (+1%, PERF.md
+    negative-result note), kept as an opt-in.
     """
     if ubounds is not None:
         umin = jnp.asarray(ubounds[0])
