@@ -137,7 +137,9 @@ class PipelineTuner:
     ):
         """``surrogate_mode``: one of "defaultcfg", "fixedcfg",
         "autotune", "autoselect", "pretrain"
-        (pipeline_tuner.py:116-149).
+        (pipeline_tuner.py:116-149). "pretrain" uses an
+        already-trained surrogate passed via ``run(surrogate=...)``;
+        every other mode trains one from the surrogate split.
 
         ``use_fanout=True`` enables the mesh-parallel fast path: when
         the cost factory is QuadCostFactory / GaussRegFactory / their
@@ -657,6 +659,18 @@ class PipelineTuner:
                     model_tuner.add_model_factory(factory_cls(pipeline.system))
             surrogate, surrogate_tune_result = model_tuner.run(
                 rng, n_iters=surrogate_tune_iters
+            )
+        elif self.surrogate_mode == "pretrain":
+            # "pretrain" means the caller supplies an already-trained
+            # surrogate via run(surrogate=...); run() short-circuits
+            # before reaching here, so landing in this branch means no
+            # surrogate was passed. The reference leaves this case
+            # unhandled (its _get_surrogate falls through with
+            # ``surrogate`` unbound -> UnboundLocalError,
+            # pipeline_tuner.py:116-150); we raise a clear error.
+            raise ValueError(
+                'surrogate_mode="pretrain" requires passing a trained '
+                "surrogate model via run(surrogate=...)"
             )
         else:
             raise ValueError(f"Unknown surrogate_mode {self.surrogate_mode}")

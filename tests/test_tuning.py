@@ -150,6 +150,26 @@ class TestPipelineTuner:
         # surrogate trajectories recorded
         assert len(result.surr_trajs) == 4
 
+    def test_pretrain_without_surrogate_raises(self, benchmark, trajs):
+        """surrogate_mode="pretrain" with no run(surrogate=...) raises a
+        clear error instead of the reference's UnboundLocalError
+        (reference pipeline_tuner.py:116-150 leaves the branch
+        unhandled)."""
+        import pytest
+
+        rng = np.random.default_rng(3)
+        pipeline = Pipeline(
+            benchmark.system,
+            SINDyFactory(benchmark.system),
+            QuadCostFactory(benchmark.system),
+            IterativeLQRFactory(benchmark.system),
+        )
+        tuner = PipelineTuner(
+            surrogate_mode="pretrain", surrogate_split=0.5, eval_batch=2
+        )
+        with pytest.raises(ValueError, match="pretrain"):
+            tuner.run(pipeline, benchmark.task, trajs, n_iters=1, rng=rng)
+
 
 class TestPipelineTunerFanout:
     def test_fanout_matches_sequential(self, benchmark, trajs):
