@@ -24,6 +24,7 @@ shape.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -800,6 +801,12 @@ def make_batched_ilqr_solver(
                 block_b=TB if B % TB == 0 else B,
                 interpret=pallas_interpret,
                 carry=(active, c["Ks"], c["ks"]),
+                # "cast" (default): in-VMEM layout casts; "reshape"
+                # restores the XLA-relayout wide wrapper for A/Bs
+                # (tools/ab_lanes_last.py llc vs ll). Read at trace
+                # time; passed as a STATIC so each variant gets its
+                # own nested-jit cache entry.
+                wide_io=os.environ.get("AMPC_BQ_WIDE_IO", "cast"),
             )
             # Inactive lanes' ksT rows hold OLD gains (the carry
             # select); their acceptance outcome is discarded by the

@@ -187,6 +187,68 @@ def _bq_step(ds, obsdim, Jx, Ju, cx, cu, rd2, qd, V, v):
     return K, kff, V_new, v_new, dlin, dquad
 
 
+def _tri_idx(ds):
+    """Row-major upper-triangle flat indices: (i, j) -> slot, i <= j."""
+    idx = {}
+    s = 0
+    for i in range(ds):
+        for j in range(i, ds):
+            idx[(i, j)] = s
+            s += 1
+    return idx
+
+
+def _bq_step_sym(ds, obsdim, Jx, Ju, cx, cu, rd2, qd, Vu, v):
+    """Symmetric-V variant of ``_bq_step``: the value Hessian V is
+    symmetric, so only its ds*(ds+1)/2 upper entries are carried and
+    recomputed — ~25% fewer slab ops per step and a smaller live set
+    (the wide kernel's V scratch drops 16 -> 10 rows at ds=4). ``Vu``
+    is the flat upper-triangle list (``_tri_idx`` order); returns
+    ``V_new`` in the same packed form. Same math as ``_bq_step`` with
+    adds reordered — parity at f32 roundoff."""
+    ti = _tri_idx(ds)
+
+    def V(i, j):
+        return Vu[ti[(i, j)]] if i <= j else Vu[ti[(j, i)]]
+
+    JuV = [
+        sum(Ju[k] * V(k, j) for k in range(ds)) for j in range(ds)
+    ]
+    Quu = rd2 + sum(JuV[k] * Ju[k] for k in range(ds))
+    inv_quu = 1.0 / Quu
+    Qux = [
+        sum(JuV[k] * Jx[k][j] for k in range(ds)) for j in range(ds)
+    ]
+    qu = cu + sum(Ju[k] * v[k] for k in range(ds))
+    K = [-Qux[j] * inv_quu for j in range(ds)]
+    kff = -qu * inv_quu
+
+    dlin = qu * kff
+    dquad = kff * Quu * kff
+
+    JxV = [
+        [sum(Jx[k][i_] * V(k, j) for k in range(ds)) for j in range(ds)]
+        for i_ in range(ds)
+    ]
+    V_new = [
+        sum(JxV[i_][k] * Jx[k][j] for k in range(ds))
+        + ((qd[i_] if i_ < obsdim else 0.0) if i_ == j else 0.0)
+        + Qux[i_] * K[j]
+        + K[i_] * Qux[j]
+        + K[i_] * K[j] * Quu
+        for (i_, j) in ti
+    ]
+    qx = [
+        cx[i_] + sum(Jx[k][i_] * v[k] for k in range(ds))
+        for i_ in range(ds)
+    ]
+    resid = qu + Quu * kff
+    v_new = jnp.stack(
+        [qx[i_] + Qux[i_] * kff + K[i_] * resid for i_ in range(ds)]
+    )
+    return K, kff, jnp.stack(V_new), v_new, dlin, dquad
+
+
 def _backward_quad_loop(ds, obsdim, H, dt, load_jac,
                         xs_ref, us_ref, qd_ref, rd_ref, fd_ref, goal_ref,
                         ks_out_ref, kv_out_ref, lin_out_ref,
@@ -421,7 +483,7 @@ def pallas_tvlqr_backward_quad(
 
 
 def _backward_quad_kernel_wide(ds, obsdim, H, T, dt, carry_update,
-                               *refs):
+                               step_mode, cast_S, *refs):
     """Streamed WIDE variant: a (batch-blocks, H/T) grid with the value
     carry in VMEM scratch and every batch slab a FULL (8, 128) tile —
     1024 lanes per vector instruction instead of the loop kernel's
@@ -449,78 +511,155 @@ def _backward_quad_kernel_wide(ds, obsdim, H, T, dt, carry_update,
 
     d = ds + 1
     c_idx = pl.program_id(1)
-    qd = [qd_ref[i] * (2.0 * dt) for i in range(obsdim)]  # (8,128)
-    rd2 = rd_ref[0] * (2.0 * dt)
+
+    # cast_S: the cast-IO variant — blocks arrive 3D with a flat
+    # SL = cast_S * 128 lane axis (the SOLVER-side layout, so the
+    # wrapper pays zero XLA relayouts) and every read/write does the
+    # (X, SL) <-> (X, S, 128) layout cast IN VMEM. cast_S None = the
+    # pre-split 4D blocks.
+    if cast_S:
+        SL = cast_S * 128
+
+        def c2(a):                       # (X, SL) -> (X, S, 128)
+            return a.reshape(a.shape[0], cast_S, 128)
+
+        def c1(a):                       # (SL,) -> (S, 128)
+            return a.reshape(cast_S, 128)
+
+        def f2(a):                       # (X, S, 128) -> (X, SL)
+            return a.reshape(a.shape[0], SL)
+
+        def f1(a):                       # (S, 128) -> (SL,)
+            return a.reshape(SL)
+
+        def rd_us(tt):
+            return c1(us_ref[tt, 0])
+
+        def rd_oldkv(tt):
+            return c1(oldkv_ref[tt, 0])
+
+        def wr_kv(tt, val):
+            kv_out_ref[tt] = f1(val)[None]
+    else:
+        c2 = c1 = f2 = f1 = lambda a: a
+
+        def rd_us(tt):
+            return us_ref[tt]
+
+        def rd_oldkv(tt):
+            return oldkv_ref[tt]
+
+        def wr_kv(tt, val):
+            kv_out_ref[tt] = val
+
+    qd = [c1(qd_ref[i]) * (2.0 * dt) for i in range(obsdim)]  # (8,128)
+    rd2 = c1(rd_ref[0]) * (2.0 * dt)
     goal = [goal_ref[i, 0] for i in range(obsdim)]
     zero = jnp.zeros_like(rd2)
+
+    sym = step_mode == "sym"
+    ti = _tri_idx(ds)
 
     @pl.when(c_idx == 0)
     def _init():
         # Terminal expansion: Vn = diag(2 F), vn = 2 F (x_H - g).
-        fd2 = [fd_ref[i] * 2.0 for i in range(obsdim)]
-        V_s[...] = _stack2(
-            [
+        fd2 = [c1(fd_ref[i]) * 2.0 for i in range(obsdim)]
+        xterm = c2(xterm_ref[...])
+        if sym:
+            V_s[...] = jnp.stack(
                 [
                     (fd2[i] if (i == j and i < obsdim) else zero)
-                    for j in range(ds)
+                    for (i, j) in ti
                 ]
-                for i in range(ds)
-            ]
-        )
+            )
+        else:
+            V_s[...] = _stack2(
+                [
+                    [
+                        (fd2[i] if (i == j and i < obsdim) else zero)
+                        for j in range(ds)
+                    ]
+                    for i in range(ds)
+                ]
+            )
         v_s[...] = jnp.stack(
             [
-                fd2[i] * (xterm_ref[i] - goal[i]) if i < obsdim
+                fd2[i] * (xterm[i] - goal[i]) if i < obsdim
                 else zero
                 for i in range(ds)
             ]
         )
-        lin_out_ref[0] = zero
-        quad_out_ref[0] = zero
+        lin_out_ref[0] = jnp.zeros_like(lin_out_ref[0])
+        quad_out_ref[0] = jnp.zeros_like(quad_out_ref[0])
 
     V = V_s[...]
     v = v_s[...]
-    lin = lin_out_ref[0]
-    quad = quad_out_ref[0]
+    lin = c1(lin_out_ref[0]) if cast_S else lin_out_ref[0]
+    quad = c1(quad_out_ref[0]) if cast_S else quad_out_ref[0]
     if carry_update:
-        act = act_ref[0] > 0.5                          # (8, 128)
+        act = c1(act_ref[0]) > 0.5                      # (8, 128)
+    if step_mode == "probe":
+        # Diagnostic stream floor: touch every input stream and write
+        # every output with trivial compute (~10 slab ops/step instead
+        # of ~130) — NOT the recursion. Used only by
+        # tools/ab_wide_backward.py to separate stream time from
+        # compute-issue time.
+        acc = lin
+        for tt in range(T - 1, -1, -1):
+            row = c2(jac_ref[tt])
+            acc = acc + row[0] + row[ds * (ds + 1) - 1]
+            ks_out_ref[tt] = f2(c2(xs_ref[tt]) * rd2[None])
+            kv = rd_us(tt) + acc
+            if carry_update:
+                kv = kv + rd_oldkv(tt) + c2(oldks_ref[tt])[0]
+            wr_kv(tt, kv)
+        lin_out_ref[0] = f1(acc)
+        quad_out_ref[0] = quad_out_ref[0] + f1(v[0])
+        V_s[...] = V
+        v_s[...] = v
+        return
     for tt in range(T - 1, -1, -1):                     # reversed chunk
-        row = jac_ref[tt]                               # (dsd, 8, 128)
+        row = c2(jac_ref[tt])                           # (dsd, 8, 128)
         Jx = [[row[k * d + j] for j in range(ds)] for k in range(ds)]
         Ju = [row[k * d + ds] for k in range(ds)]
+        xs = c2(xs_ref[tt])
         cx = [
-            qd[i] * (xs_ref[tt, i] - goal[i]) if i < obsdim else zero
+            qd[i] * (xs[i] - goal[i]) if i < obsdim else zero
             for i in range(ds)
         ]
-        cu = rd2 * us_ref[tt]
+        cu = rd2 * rd_us(tt)
 
-        K, kff, V, v, dlin, dquad = _bq_step(
+        step = _bq_step_sym if sym else _bq_step
+        K, kff, V, v, dlin, dquad = step(
             ds, obsdim, Jx, Ju, cx, cu, rd2, qd, V, v
         )
         lin = lin + dlin
         quad = quad + dquad
 
         if carry_update:
-            ks_out_ref[tt] = jnp.where(
-                act[None], jnp.stack(K), oldks_ref[tt]
-            )
-            kv_out_ref[tt] = jnp.where(act, kff, oldkv_ref[tt])
+            ks_out_ref[tt] = f2(jnp.where(
+                act[None], jnp.stack(K), c2(oldks_ref[tt])
+            ))
+            wr_kv(tt, jnp.where(act, kff, rd_oldkv(tt)))
         else:
-            ks_out_ref[tt] = jnp.stack(K)
-            kv_out_ref[tt] = kff
-    lin_out_ref[0] = lin
-    quad_out_ref[0] = quad
+            ks_out_ref[tt] = f2(jnp.stack(K))
+            wr_kv(tt, kff)
+    lin_out_ref[0] = f1(lin)
+    quad_out_ref[0] = f1(quad)
     V_s[...] = V
     v_s[...] = v
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dt", "obsdim", "block_b", "interpret", "wide"),
+    static_argnames=(
+        "dt", "obsdim", "block_b", "interpret", "wide", "wide_io",
+    ),
 )
 def pallas_tvlqr_backward_quad_ll(
     jac_p, xsT, usT, QdT, RdT, FdT, goal, dt, obsdim,
     block_b: int = 128, interpret: bool = False,
-    carry=None, wide: str = "auto",
+    carry=None, wide: str = "auto", wide_io: str = "cast",
 ):
     """Lanes-last, packed-jac variant of ``pallas_tvlqr_backward_quad``
     — zero layout transposes in the wrapper, so the iLQR body can keep
@@ -543,7 +682,15 @@ def pallas_tvlqr_backward_quad_ll(
 
     ``wide``: "auto" (the streamed full-(8,128)-tile kernel whenever
     B is a multiple of 1024 — 8x the per-instruction lanes of the
-    whole-horizon loop kernel), "on" (require it), or "off"."""
+    whole-horizon loop kernel), "on" (require it), or "off".
+
+    ``wide_io``: "cast" (default — blocks cut straight from the 3D
+    arrays, (SL,) <-> (S, 128) layout casts in VMEM) or "reshape" (XLA
+    host-side reshapes to pre-split 4D; those reshapes are tiled-layout
+    RELAYOUTS measured at ~8.3 ms/call of pure HBM round-trip at
+    B=65536, which is why cast is the default). Static so the two
+    variants get distinct jit cache entries (an env knob alone is
+    invisible to the nested-jit cache key)."""
     H, dsd, B = jac_p.shape
     ds = xsT.shape[1]
     if dsd != ds * (ds + 1):
@@ -552,9 +699,16 @@ def pallas_tvlqr_backward_quad_ll(
         )
     if wide not in ("auto", "on", "off"):
         raise ValueError(f"wide must be auto/on/off, got {wide!r}")
+    if wide_io not in ("cast", "reshape"):
+        raise ValueError(f"wide_io must be cast/reshape, got {wide_io!r}")
     if wide == "on" and B % 1024 != 0:
         raise ValueError(f"wide='on' needs B % 1024 == 0, got {B}")
     if wide != "off" and B % 1024 == 0:
+        if wide_io == "cast":
+            return _backward_quad_ll_wide_cast(
+                jac_p, xsT, usT, QdT, RdT, FdT, goal, dt, obsdim,
+                interpret, carry,
+            )
         return _backward_quad_ll_wide(
             jac_p, xsT, usT, QdT, RdT, FdT, goal, dt, obsdim,
             interpret, carry,
@@ -624,25 +778,114 @@ def pallas_tvlqr_backward_quad_ll(
     return ksT, kvT, linT[0], quadT[0]
 
 
-def _backward_quad_ll_wide(jac_p, xsT, usT, QdT, RdT, FdT, goal, dt,
-                           obsdim, interpret, carry):
-    """Wide dispatch body for ``pallas_tvlqr_backward_quad_ll`` (see
-    ``_backward_quad_kernel_wide``). Host-side reshapes split the lane
-    axis B -> (B//128, 128) — contiguous, layout-free. ``S`` batch
-    sublanes per slab: S=8 is one full vreg per op; larger S splits
-    each op into S/8 INDEPENDENT vreg ops whose chains interleave —
-    the recursion is dependency-latency bound, so the ILP is the win
-    (AMPC_BQ_WIDE_S / AMPC_BQ_WIDE_T override for sweeps)."""
+def _backward_quad_ll_wide_cast(jac_p, xsT, usT, QdT, RdT, FdT, goal,
+                                dt, obsdim, interpret, carry):
+    """Cast-IO wide backward: blocks are cut straight from the solver's
+    3D lanes-last arrays ((H, X, B) with a flat lane axis) and each
+    kernel read/write does the (X, SL) <-> (X, S, 128) layout cast IN
+    VMEM. The round-5 A/B measured the 3D wrapper's XLA reshapes as
+    ~8.3 ms of pure HBM relayout per call at B=65536 (the 4D kernel
+    core is ~4.4 ms) — casting in VMEM removes them without changing
+    the solver's carry layout."""
     H, dsd, B = jac_p.shape
     ds = xsT.shape[1]
-    # Default S=16 (two independent vregs per op interleave the
-    # dependency chains: 19.8 ms vs 20.3 at S=8, 23.8 loop-kernel,
-    # B=65536); auto-downgrade when the batch doesn't divide. S=32
-    # exceeds VMEM at T=25.
+    dtype = jac_p.dtype
     S = int(os.environ.get("AMPC_BQ_WIDE_S", "16"))
     while S > 8 and B % (128 * S) != 0:
         S //= 2
-    nb = B // (128 * S)
+    SL = 128 * S
+    nb = B // SL
+    if B % SL != 0:
+        raise ValueError(f"wide backward needs B % {SL} == 0, got {B}")
+    T = int(os.environ.get(
+        "AMPC_BQ_WIDE_T",
+        next(t for t in (25, 20, 10, 8, 5, 4, 2, 1) if H % t == 0),
+    ))
+    nc = H // T
+    step_mode = os.environ.get("AMPC_BQ_WIDE_STEP", "std")
+    kernel = functools.partial(
+        _backward_quad_kernel_wide, ds, obsdim, H, T, float(dt),
+        carry is not None, step_mode, S,
+    )
+    grid = (nb, nc)
+
+    def tspec3(shape_mid):
+        nd = len(shape_mid)
+        return pl.BlockSpec(
+            (T,) + shape_mid + (SL,),
+            lambda b, c, nd=nd: (nc - 1 - c,) + (0,) * nd + (b,),
+            memory_space=pltpu.VMEM,
+        )
+
+    def cspec3(shape_prefix):
+        nd = len(shape_prefix)
+        return pl.BlockSpec(
+            shape_prefix + (SL,),
+            lambda b, t, nd=nd: (0,) * nd + (b,),
+            memory_space=pltpu.VMEM,
+        )
+
+    goal2 = jnp.asarray(goal, dtype=dtype).reshape(obsdim, 1)
+    in_specs = [
+        tspec3((dsd,)), tspec3((ds,)), tspec3((1,)),
+        cspec3((ds,)), cspec3((obsdim,)), cspec3((1,)),
+        cspec3((obsdim,)),
+        pl.BlockSpec(
+            (obsdim, 1), lambda b, t: (0, 0), memory_space=pltpu.SMEM
+        ),
+    ]
+    inputs = [
+        jac_p, xsT[:H], usT[:, None, :], xsT[H],
+        QdT.astype(dtype), RdT.astype(dtype), FdT.astype(dtype), goal2,
+    ]
+    if carry is not None:
+        act, old_KsT, old_ksT = carry
+        in_specs += [cspec3((1,)), tspec3((ds,)), tspec3((1,))]
+        inputs += [
+            act.astype(dtype)[None, :], old_KsT, old_ksT[:, None, :],
+        ]
+
+    out_shape = (
+        jax.ShapeDtypeStruct((H, ds, B), dtype),
+        jax.ShapeDtypeStruct((H, 1, B), dtype),
+        jax.ShapeDtypeStruct((1, B), dtype),
+        jax.ShapeDtypeStruct((1, B), dtype),
+    )
+    ks3, kv3, lin2, quad2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            tspec3((ds,)), tspec3((1,)), cspec3((1,)), cspec3((1,)),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM(
+                ((ds * (ds + 1) // 2, S, 128) if step_mode == "sym"
+                 else (ds, ds, S, 128)),
+                dtype,
+            ),
+            pltpu.VMEM((ds, S, 128), dtype),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    return ks3, kv3[:, 0, :], lin2[0], quad2[0]
+
+
+def _backward_quad_ll_wide(jac_p, xsT, usT, QdT, RdT, FdT, goal, dt,
+                           obsdim, interpret, carry):
+    """Reshape-IO wide dispatch body for
+    ``pallas_tvlqr_backward_quad_ll`` (see
+    ``_backward_quad_kernel_wide``): XLA reshapes split the lane axis
+    B -> (B//128, 128) on the host side — tiled-layout RELAYOUTS,
+    measured ~8.3 ms of pure HBM round-trip per call at B=65536, which
+    is why ``wide_io="cast"`` (``_backward_quad_ll_wide_cast``) is the
+    default. ``S`` batch sublanes per slab (AMPC_BQ_WIDE_S /
+    AMPC_BQ_WIDE_T override for sweeps; the round-5 A/B measured S/T
+    flat within 2% — the kernel core is stream-bound, not
+    chain-latency bound)."""
+    H, dsd, B = jac_p.shape
+    ds = xsT.shape[1]
     nl = B // 128
     dtype = jac_p.dtype
 
@@ -655,6 +898,47 @@ def _backward_quad_ll_wide(jac_p, xsT, usT, QdT, RdT, FdT, goal, dt,
     Fd4 = FdT.astype(dtype).reshape(obsdim, nl, 128)
     goal2 = jnp.asarray(goal, dtype=dtype).reshape(obsdim, 1)
 
+    carry4 = None
+    if carry is not None:
+        act, old_KsT, old_ksT = carry
+        carry4 = (
+            act.astype(dtype).reshape(1, nl, 128),
+            old_KsT.reshape(H, ds, nl, 128),
+            old_ksT.reshape(H, nl, 128),
+        )
+    ks4, kv4, lin4, quad4 = _backward_quad_ll_wide_4d(
+        jac4, xs4, xterm, us4, Qd4, Rd4, Fd4, goal2, dt, obsdim,
+        interpret, carry4,
+    )
+    return (
+        ks4.reshape(H, ds, B),
+        kv4.reshape(H, B),
+        lin4.reshape(B),
+        quad4.reshape(B),
+    )
+
+
+def _backward_quad_ll_wide_4d(jac4, xs4, xterm, us4, Qd4, Rd4, Fd4,
+                              goal2, dt, obsdim, interpret, carry):
+    """4D core of the wide backward: all batch-carrying arrays arrive
+    pre-split as (..., nl, 128) — the layout the kernel's (S, 128)
+    slabs want — so a caller that KEEPS its iteration carry in this
+    shape pays zero relayouts here. (The 3D wrapper's reshapes are real
+    TPU relayout copies: the round-5 A/B measured the full std kernel
+    == a trivial-compute probe at ~17.3 ms — the wrapper's time was
+    streams + relayouts, not the recursion.)"""
+    H, dsd, nl, _ = jac4.shape
+    ds = xs4.shape[1]
+    B = nl * 128
+    dtype = jac4.dtype
+    # Default S=16 (two independent vregs per op interleave the
+    # dependency chains: 19.8 ms vs 20.3 at S=8, 23.8 loop-kernel,
+    # B=65536); auto-downgrade when the batch doesn't divide. S=32
+    # exceeds VMEM at T=25.
+    S = int(os.environ.get("AMPC_BQ_WIDE_S", "16"))
+    while S > 8 and B % (128 * S) != 0:
+        S //= 2
+    nb = B // (128 * S)
     if B % (128 * S) != 0:
         raise ValueError(
             f"wide backward needs B % {128 * S} == 0, got {B}"
@@ -666,9 +950,13 @@ def _backward_quad_ll_wide(jac_p, xsT, usT, QdT, RdT, FdT, goal, dt,
         next(t for t in (25, 20, 10, 8, 5, 4, 2, 1) if H % t == 0),
     ))
     nc = H // T
+    # "std" | "sym" (carry only the symmetric V's upper triangle —
+    # fewer ops/live rows) | "probe" (diagnostic stream floor, wrong
+    # values — tools/ab_wide_backward.py only).
+    step_mode = os.environ.get("AMPC_BQ_WIDE_STEP", "std")
     kernel = functools.partial(
         _backward_quad_kernel_wide, ds, obsdim, H, T, float(dt),
-        carry is not None,
+        carry is not None, step_mode, None,
     )
     grid = (nb, nc)
 
@@ -700,13 +988,9 @@ def _backward_quad_ll_wide(jac_p, xsT, usT, QdT, RdT, FdT, goal, dt,
     ]
     inputs = [jac4, xs4, us4, xterm, Qd4, Rd4, Fd4, goal2]
     if carry is not None:
-        act, old_KsT, old_ksT = carry
+        act4, oldKs4, oldks4 = carry
         in_specs += [cspec((1,)), tspec((ds,)), tspec(())]
-        inputs += [
-            act.astype(dtype).reshape(1, nl, 128),
-            old_KsT.reshape(H, ds, nl, 128),
-            old_ksT.reshape(H, nl, 128),
-        ]
+        inputs += [act4, oldKs4, oldks4]
 
     out_shape = (
         jax.ShapeDtypeStruct((H, ds, nl, 128), dtype),
@@ -723,18 +1007,17 @@ def _backward_quad_ll_wide(jac_p, xsT, usT, QdT, RdT, FdT, goal, dt,
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((ds, ds, S, 128), dtype),
+            pltpu.VMEM(
+                ((ds * (ds + 1) // 2, S, 128) if step_mode == "sym"
+                 else (ds, ds, S, 128)),
+                dtype,
+            ),
             pltpu.VMEM((ds, S, 128), dtype),
         ],
         interpret=interpret,
     )(*inputs)
 
-    return (
-        ks4.reshape(H, ds, B),
-        kv4.reshape(H, B),
-        lin4.reshape(B),
-        quad4.reshape(B),
-    )
+    return ks4, kv4, lin4, quad4
 
 
 def _backward_general_kernel(ds, dc, H, jx_ref, ju_ref, cxx_ref, cuu_ref,

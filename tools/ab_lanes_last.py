@@ -79,13 +79,14 @@ def main():
     )
 
     # Variants: bm (batch-major), ll (lanes-last), llw (lanes-last +
-    # WIDE split line search).
+    # WIDE split line search), llc (lanes-last + cast-IO wide backward
+    # — round 5; ll pins AMPC_BQ_WIDE_IO=reshape for the A/B).
     names = os.environ.get("AB_VARIANTS", "bm,ll").split(",")
     solvers = {}
     for name in names:
         kw = dict(
             base_kw,
-            lanes_last=(name in ("ll", "llw")),
+            lanes_last=(name in ("ll", "llw", "llc")),
             ls_wide=(name == "llw"),
         )
         solvers[name] = jax.jit(
@@ -102,6 +103,11 @@ def main():
 
     conv = {}
     for name, solve in solvers.items():
+        # The wide backward reads AMPC_BQ_WIDE_IO at trace time, i.e.
+        # at this first (warming) call.
+        os.environ["AMPC_BQ_WIDE_IO"] = (
+            "cast" if name == "llc" else "reshape"
+        )
         t0 = time.perf_counter()
         out = solve(model.params, x0_pool[0], ug)
         jax.block_until_ready(out)
