@@ -1210,14 +1210,21 @@ class JointMLPQuadCostFanout:
 
         surr_params = surrogate.params
 
-        def eval_batch(batch):
-            B = batch["lr"].shape[0]
+        def train_batch(batch):
             key = jax.random.PRNGKey(self._seed)
             key, _ = jax.random.split(key)  # mirrors MLPBucketEvaluator
-            nets = jax.vmap(
+            return jax.vmap(
                 train_one, in_axes=(0, 0, 0, 0, None)
             )(batch["net0"], batch["wmasks"], batch["bmasks"],
               batch["lr"], key)
+
+        # Phase-profile hook (tools/profile_mlp_fanout.py): training
+        # alone, single-device.
+        self._train_jit = jax.jit(train_batch)
+
+        def eval_batch(batch):
+            B = batch["lr"].shape[0]
+            nets = train_batch(batch)
             params = {
                 "net": nets,
                 "wmasks": batch["wmasks"],
@@ -1285,7 +1292,10 @@ class JointMLPQuadCostFanout:
             n_dev = int(np.prod(mesh.devices.shape))
         self._pad_quantum = n_dev * max(1, -(-8 // n_dev))
 
-    def __call__(self, batch):
+    def _prepare(self, batch):
+        """Stage a candidate batch: padded per-lane init nets + masks
+        from the static widths, lane arrays padded to the shard
+        quantum. Returns (full_batch_dict, n_real)."""
         _validate_regw(
             batch, getattr(self, "_has_reg", False), type(self).__name__
         )
@@ -1331,7 +1341,17 @@ class JointMLPQuadCostFanout:
         }
         if "regw" in batch:
             full["regw"] = pad(batch["regw"])
+        return full, B
+
+    def __call__(self, batch):
+        full, B = self._prepare(batch)
         return self._eval_jit(full)[:B]
+
+    def _train_only(self, batch):
+        """Per-lane training alone (no closed loop) — the phase-profile
+        hook for tools/profile_mlp_fanout.py."""
+        full, _ = self._prepare(batch)
+        return self._train_jit(full)
 
 
 class DirectTranscriptionFanout:
