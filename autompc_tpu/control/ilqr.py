@@ -265,6 +265,8 @@ def make_batched_ilqr_solver(
     mlp_ls=None,
     lanes_last: bool = False,
     ls_wide: bool = False,
+    jac_dtype: str = "f32",
+    horizon_mask: bool = False,
     pallas_interpret: bool = False,
 ):
     """Batch-native iLQR solve: ``solve(params, x0s (B,ds), uguess
@@ -470,7 +472,12 @@ def make_batched_ilqr_solver(
         # The dense reg term makes the stage hessian non-diagonal, so
         # the diagonal-specialized backward kernel is out; the dense-
         # expansion kernel path (`use_pallas` branch below) takes over.
-        quad_backward = use_pallas and reg_matrix is None
+        # horizon_mask needs per-(lane, step) masked expansions, which
+        # the inline-expansion kernel cannot express (its cost diag is
+        # time-constant) — fall through to the expansion-stream path.
+        quad_backward = (
+            use_pallas and reg_matrix is None and not horizon_mask
+        )
         fixed_diag = None
     else:
         fixed_diag = None
@@ -519,6 +526,44 @@ def make_batched_ilqr_solver(
                 f"relin_pallas={use_pallas_relin}, dc={dc}, "
                 f"grad_terms={'yes' if lib_gts is not None else 'no'}, "
                 f"mlp_ls={'set' if mlp_ls is not None else 'None'}"
+            )
+    if jac_dtype not in ("f32", "bf16"):
+        raise ValueError(f"jac_dtype must be f32/bf16, got {jac_dtype!r}")
+    if jac_dtype == "bf16" and not lanes_last:
+        raise ValueError(
+            "jac_dtype='bf16' (half-stream jac carry; the B=131072 "
+            "HBM fit) is implemented for the lanes-last packed-jac "
+            "carry only"
+        )
+    _jac_np = jnp.bfloat16 if jac_dtype == "bf16" else None
+
+    # horizon_mask: horizon-POLYMORPHIC solves. The program compiles
+    # once at H = H_max; every lane carries its own effective horizon
+    # ``cost_params["heff"]`` (B,) int32 and steps t >= heff are made
+    # INERT: frozen dynamics (x_{t+1} = x_t, Jx = I, Ju = 0), zero
+    # stage cost/gradients (Cuu stays PD so the Riccati step is
+    # well-posed but yields K = k = 0 and V passes through unchanged),
+    # controls pinned to their previous value (du = 0). The padded
+    # solve is algebraically identical to a dedicated solve at
+    # H = heff (tests/test_horizon_mask.py pins this lane-for-lane).
+    # Motivation: the AutoML tuner's controller-horizon hyperparameter
+    # otherwise buckets every distinct horizon into its OWN compiled
+    # program — ~one multi-minute TPU compile per candidate on fresh
+    # horizons (the round-5 bench_tune.py profile; reference horizon
+    # space: /root/reference/autompc/control/ilqr.py:24-27).
+    if horizon_mask:
+        if not quad_cost_batch:
+            raise ValueError("horizon_mask requires quad_cost_batch=True")
+        if lanes_last or fuse_ls or mlp_ls is not None:
+            raise ValueError(
+                "horizon_mask uses the XLA line-search path; fuse_ls, "
+                "lanes_last and mlp_ls are unsupported with it"
+            )
+        if feature_spec is not None or analytic_jac:
+            raise ValueError(
+                "horizon_mask does not compose with feature-library "
+                "kernels yet; keep horizon in the bucket key for "
+                "feature-spec solvers"
             )
 
     def relinearize_batch(params, xs, us):
@@ -602,6 +647,31 @@ def make_batched_ilqr_solver(
         _, (xs1, Jx, Ju) = jax.lax.scan(step, x0, us, unroll=unroll)
         return jnp.concatenate([x0[None], xs1], axis=0), Jx, Ju
 
+    _tsteps = jnp.arange(H)
+
+    def forward_one_m(params, x0, us, heff):
+        """horizon_mask initial rollout: steps t >= heff freeze the
+        state and linearize as (I, 0) — see the horizon_mask doc."""
+        m = _tsteps < heff
+
+        def step(x, inp):
+            u, mt = inp
+            if pred_diff is not None:
+                pred, jx, ju = pred_diff(params, x, u)
+            else:
+                pred = pred_core(params, x, u)
+                jx = jax.jacfwd(lambda s: pred_core(params, s, u))(x)
+                ju = jax.jacfwd(lambda uu: pred_core(params, x, uu))(u)
+            pred = jnp.where(mt, pred, x)
+            jx = jnp.where(mt, jx, jnp.eye(ds, dtype=jx.dtype))
+            ju = jnp.where(mt, ju, jnp.zeros_like(ju))
+            return pred, (pred, jx, ju)
+
+        _, (xs1, Jx, Ju) = jax.lax.scan(
+            step, x0, (us, m), unroll=unroll
+        )
+        return jnp.concatenate([x0[None], xs1], axis=0), Jx, Ju
+
     if quad_cost_batch:
         goal = (
             jnp.zeros(obsdim) if quad_goal is None
@@ -614,18 +684,35 @@ def make_batched_ilqr_solver(
                 else jnp.asarray(reg_goal)
             )
 
+        def _stage_mask(cp, dtype):
+            # (H,) 1/0 stage-cost mask from the lane's effective
+            # horizon (horizon_mask only; 1s otherwise — traced away).
+            if horizon_mask:
+                return (_tsteps < cp["heff"]).astype(dtype)
+            return None
+
         def eval_obj_one(xs, us, cp):
             dx = xs[:H, :obsdim] - goal
-            oc = jnp.sum(dx * dx * cp["Qdiag"][None, :])
-            cc = jnp.sum(us * us * cp["Rdiag"][None, :])
+            sw = _stage_mask(cp, xs.dtype)
+            qterm = dx * dx * cp["Qdiag"][None, :]
+            rterm = us * us * cp["Rdiag"][None, :]
+            if sw is not None:
+                qterm = qterm * sw[:, None]
+                rterm = rterm * sw[:, None]
+            oc = jnp.sum(qterm)
+            cc = jnp.sum(rterm)
             if reg_matrix is not None:
                 dxm = xs[:H, :obsdim] - mureg
-                oc = oc + cp["regw"] * jnp.sum(dxm * (dxm @ Sreg))
+                gterm = dxm * (dxm @ Sreg)
+                if sw is not None:
+                    gterm = gterm * sw[:, None]
+                oc = oc + cp["regw"] * jnp.sum(gterm)
             dxt = xs[H, :obsdim] - goal
             return dt * (oc + cc) + jnp.sum(dxt * dxt * cp["Fdiag"])
 
         def expansions_one(xs, us, cp):
             dx = xs[:H, :obsdim] - goal                     # (H, n)
+            sw = _stage_mask(cp, xs.dtype)
             cx = jnp.zeros((H, ds)).at[:, :obsdim].set(
                 2.0 * dx * cp["Qdiag"][None, :] * dt
             )
@@ -646,6 +733,13 @@ def make_batched_ilqr_solver(
                 jnp.broadcast_to(2.0 * cp["Rdiag"] * dt, (H, dc))
             )
             cu = 2.0 * us * cp["Rdiag"][None, :] * dt
+            if sw is not None:
+                # Inert padded steps: zero state cost and cost
+                # gradients; Cuu stays PD (with Ju = 0 and cu = 0 the
+                # Riccati step still returns K = k = 0 there).
+                cx = cx * sw[:, None]
+                Cxx = Cxx * sw[:, None, None]
+                cu = cu * sw[:, None]
             return Cxx, Cuu, cx, cu
 
         def term_one(x, cp):
@@ -698,6 +792,26 @@ def make_batched_ilqr_solver(
 
         return jax.vmap(rollout)(alphas)
 
+    def line_search_one_m(params, x0, xs, us, Ks, ks, heff):
+        """horizon_mask line search: padded steps keep their previous
+        control (du = 0 there) and freeze the state."""
+        m = _tsteps < heff
+
+        def rollout(alpha):
+            def step(x, inp):
+                xbar, ubar, K, k, mt = inp
+                u = clip_u(alpha * k + ubar + K @ (x - xbar))
+                u = jnp.where(mt, u, ubar)
+                x1 = jnp.where(mt, pred_core(params, x, u), x)
+                return x1, (x1, u)
+
+            _, (xs1, us1) = jax.lax.scan(
+                step, x0, (xs[:H], us, Ks, ks, m), unroll=unroll
+            )
+            return jnp.concatenate([x0[None], xs1], axis=0), us1
+
+        return jax.vmap(rollout)(alphas)
+
     def make_carry0(params, x0s, uguess, cost_params=None):
         B = x0s.shape[0]
         cp = cost_params if quad_cost_batch else {}
@@ -716,6 +830,10 @@ def make_batched_ilqr_solver(
                 params, x0s, uguess
             )
             Jx0, Ju0 = relinearize_batch(params, xs0, uguess)
+        elif horizon_mask:
+            xs0, Jx0, Ju0 = jax.vmap(
+                forward_one_m, in_axes=(p_ax, 0, 0, 0)
+            )(params, x0s, uguess, cp["heff"])
         else:
             xs0, Jx0, Ju0 = jax.vmap(forward_one, in_axes=(p_ax, 0, 0))(
                 params, x0s, uguess
@@ -730,6 +848,12 @@ def make_batched_ilqr_solver(
             jac_p = jnp.transpose(jac0, (1, 2, 3, 0)).reshape(
                 H, ds * (ds + 1), B
             )
+            if _jac_np is not None:
+                # bf16 jac carry: half the backward kernel's biggest
+                # stream and half the carry's (double-buffered) HBM
+                # residency — the B=131072 fit. Kernels upcast to f32
+                # at their read sites; gains/trajectories stay f32.
+                jac_p = jac_p.astype(_jac_np)
             cpT = {
                 k: (v.T if getattr(v, "ndim", 0) == 2 else v)
                 for k, v in cp.items()
@@ -861,6 +985,9 @@ def make_batched_ilqr_solver(
                     ll_io=True,
                     interpret=pallas_interpret,
                     carry=(active, c["jac"]),
+                    jac_dtype=(
+                        "bfloat16" if _jac_np is not None else None
+                    ),
                 )
 
             # The kernels already applied the carry selects; outputs
@@ -935,6 +1062,7 @@ def make_batched_ilqr_solver(
                 Ks, ks, lin_red, quad_red = pallas_tvlqr_backward(
                     c["Jx"], c["Ju"], Cxx, Cuu, cx, cu, Vn, vn,
                     block_b=TB if B % TB == 0 else B,
+                    interpret=pallas_interpret,
                 )
             elif use_pallas_general:
                 from ..ops.pallas_riccati import (
@@ -1060,6 +1188,11 @@ def make_batched_ilqr_solver(
                         layout=str(mlp_ls.get("layout", "slab")),
                         precision=str(mlp_ls.get("precision", "highest")),
                     )
+                elif horizon_mask:
+                    ls_xs, ls_us = jax.vmap(
+                        line_search_one_m,
+                        in_axes=(p_ax, 0, 0, 0, 0, 0, 0),
+                    )(pp, x0s, xs, us, Ks, ks, cp["heff"])
                 else:
                     ls_xs, ls_us = jax.vmap(
                         line_search_one, in_axes=(p_ax, 0, 0, 0, 0, 0)
@@ -1106,6 +1239,20 @@ def make_batched_ilqr_solver(
                 Jx_lin, Ju_lin = fused_jac
             else:
                 Jx_lin, Ju_lin = relinearize_batch(pp, new_xs, new_us)
+                if horizon_mask:
+                    # Padded steps relinearize as (I, 0) — the frozen
+                    # dynamics' exact Jacobian (see the horizon_mask
+                    # doc).
+                    mB = _tsteps[None, :] < cp["heff"][:, None]
+                    Jx_lin = jnp.where(
+                        mB[..., None, None],
+                        Jx_lin,
+                        jnp.eye(ds, dtype=Jx_lin.dtype),
+                    )
+                    Ju_lin = jnp.where(
+                        mB[..., None, None], Ju_lin,
+                        jnp.zeros_like(Ju_lin),
+                    )
             succ = ls_success[:, None, None, None]
             Jx_new = jnp.where(succ, Jx_lin, c["Jx"])
             Ju_new = jnp.where(succ, Ju_lin, c["Ju"])

@@ -543,11 +543,17 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
                         jnp.asarray(total, x2[0].dtype), x2[0].shape
                     )[0]
                     if carry_update:
+                        # The jac carry may be stored bf16 (see the
+                        # wrapper's jac_dtype): select in compute
+                        # precision, cast once at the store.
                         jac_ref[t, i * d + dd] = jnp.where(
-                            jac_mask, row, oldjac_ref[t, i * d + dd]
-                        )
+                            jac_mask, row,
+                            oldjac_ref[t, i * d + dd].astype(row.dtype),
+                        ).astype(jac_ref.dtype)
                     else:
-                        jac_ref[t, i * d + dd] = row
+                        jac_ref[t, i * d + dd] = row.astype(
+                            jac_ref.dtype
+                        )
         if carry_update:
             return tuple(x_new) + (du2,)
         return tuple(x_new)
@@ -565,7 +571,7 @@ def _fused_kernel(term_fns, grad_terms, ds, dc, obsdim, H, L, dt,
     jax.jit,
     static_argnames=(
         "term_fns", "grad_terms", "dt", "ls_cost_threshold", "block_b",
-        "interpret", "per_lane_diag_cost", "ll_io",
+        "interpret", "per_lane_diag_cost", "ll_io", "jac_dtype",
     ),
 )
 def pallas_fused_line_search(
@@ -578,6 +584,7 @@ def pallas_fused_line_search(
     reg=None,
     ll_io: bool = False,
     carry=None,
+    jac_dtype=None,
 ):
     """Fused line search for linear-in-features models and quadratic
     costs: rolls all alphas, evaluates the iLQR objective in-register,
@@ -783,8 +790,12 @@ def pallas_fused_line_search(
     ]
     d = ds + dc
     if grad_terms is not None:
+        # jac_dtype="bfloat16" halves the jac carry's HBM footprint
+        # and stream (the B=131072 fit, control/ilqr.py jac_dtype);
+        # the write site casts, the backward kernel upcasts on read.
+        jdt = jnp.dtype(jac_dtype) if jac_dtype is not None else dtype
         out_specs.append(vspec((H, ds * d)))
-        out_shape.append(jax.ShapeDtypeStruct((H, ds * d, B), dtype))
+        out_shape.append(jax.ShapeDtypeStruct((H, ds * d, B), jdt))
     if carry is not None:
         out_specs.append(vspec((1,)))
         out_shape.append(jax.ShapeDtypeStruct((1, B), dtype))
@@ -997,8 +1008,9 @@ def _ls_reroll_kernel_wide(term_fns, grad_terms, ds, obsdim, H, T,
                     jnp.asarray(total, x[0].dtype), x[0].shape
                 )
                 jac_ref[tt, i * d + dd] = jnp.where(
-                    jmask, row, oldjac_ref[tt, i * d + dd]
-                )
+                    jmask, row,
+                    oldjac_ref[tt, i * d + dd].astype(row.dtype),
+                ).astype(jac_ref.dtype)
         x = step_dyn(x, [u])
     du2_ref[0] = du2
     x_s[...] = jnp.stack(x)
@@ -1202,7 +1214,8 @@ def pallas_fused_line_search_wide(
             jax.ShapeDtypeStruct((H, ds, nl, 128), dtype),
             jax.ShapeDtypeStruct((ds, nl, 128), dtype),
             jax.ShapeDtypeStruct((H, nl, 128), dtype),
-            jax.ShapeDtypeStruct((H, dsd, nl, 128), dtype),
+            # jac carry keeps its own (possibly bf16) storage dtype.
+            jax.ShapeDtypeStruct((H, dsd, nl, 128), old_jac.dtype),
             jax.ShapeDtypeStruct((1, nl, 128), dtype),
         ),
         scratch_shapes=[pltpu.VMEM((ds, S_B, 128), dtype)],

@@ -381,7 +381,10 @@ def _backward_quad_kernel_packed(ds, obsdim, H, dt, carry_update,
     d = ds + 1
 
     def load_jac(t):
-        row = jac_ref[t]
+        # The jac carry may be stored bf16 (half its HBM stream; the
+        # B=131072 fit, control/ilqr.py jac_dtype) — compute stays in
+        # the trajectory stream's dtype (f32).
+        row = jac_ref[t].astype(xs_ref.dtype)
         Jx = [[row[k * d + j] for j in range(ds)] for k in range(ds)]
         Ju = [row[k * d + ds] for k in range(ds)]
         return Jx, Ju
@@ -606,7 +609,7 @@ def _backward_quad_kernel_wide(ds, obsdim, H, T, dt, carry_update,
         # compute-issue time.
         acc = lin
         for tt in range(T - 1, -1, -1):
-            row = c2(jac_ref[tt])
+            row = c2(jac_ref[tt].astype(xs_ref.dtype))
             acc = acc + row[0] + row[ds * (ds + 1) - 1]
             ks_out_ref[tt] = f2(c2(xs_ref[tt]) * rd2[None])
             kv = rd_us(tt) + acc
@@ -619,7 +622,10 @@ def _backward_quad_kernel_wide(ds, obsdim, H, T, dt, carry_update,
         v_s[...] = v
         return
     for tt in range(T - 1, -1, -1):                     # reversed chunk
-        row = c2(jac_ref[tt])                           # (dsd, 8, 128)
+        # Upcast BEFORE the layout reshape: the cast runs elementwise
+        # on the stored layout (a no-op for f32 jac; bf16 jac is the
+        # half-stream carry, control/ilqr.py jac_dtype).
+        row = c2(jac_ref[tt].astype(xs_ref.dtype))      # (dsd, 8, 128)
         Jx = [[row[k * d + j] for j in range(ds)] for k in range(ds)]
         Ju = [row[k * d + ds] for k in range(ds)]
         xs = c2(xs_ref[tt])
@@ -717,7 +723,10 @@ def pallas_tvlqr_backward_quad_ll(
     if B % TB != 0:
         raise ValueError(f"batch {B} must be divisible by block {TB}")
 
-    goal2 = jnp.asarray(goal, dtype=jac_p.dtype).reshape(obsdim, 1)
+    # Compute/IO dtype follows the trajectory streams; jac_p may be a
+    # bf16 carry (upcast at the kernels' read sites).
+    cdt = xsT.dtype
+    goal2 = jnp.asarray(goal, dtype=cdt).reshape(obsdim, 1)
     kernel = functools.partial(
         _backward_quad_kernel_packed, ds, obsdim, H, float(dt),
         carry is not None,
@@ -745,21 +754,21 @@ def pallas_tvlqr_backward_quad_ll(
         ),
     ]
     inputs = [
-        jac_p, xsT, usT, QdT.astype(jac_p.dtype),
-        RdT.astype(jac_p.dtype), FdT.astype(jac_p.dtype), goal2,
+        jac_p, xsT, usT, QdT.astype(cdt),
+        RdT.astype(cdt), FdT.astype(cdt), goal2,
     ]
     if carry is not None:
         act, old_KsT, old_ksT = carry
         in_specs += [bspec((1,)), bspec((H, ds)), bspec((H,))]
         inputs += [
-            act.astype(jac_p.dtype)[None, :], old_KsT, old_ksT,
+            act.astype(cdt)[None, :], old_KsT, old_ksT,
         ]
 
     out_shape = (
-        jax.ShapeDtypeStruct((H, ds, B), jac_p.dtype),
-        jax.ShapeDtypeStruct((H, B), jac_p.dtype),
-        jax.ShapeDtypeStruct((1, B), jac_p.dtype),
-        jax.ShapeDtypeStruct((1, B), jac_p.dtype),
+        jax.ShapeDtypeStruct((H, ds, B), cdt),
+        jax.ShapeDtypeStruct((H, B), cdt),
+        jax.ShapeDtypeStruct((1, B), cdt),
+        jax.ShapeDtypeStruct((1, B), cdt),
     )
     ksT, kvT, linT, quadT = pl.pallas_call(
         kernel,
@@ -789,7 +798,9 @@ def _backward_quad_ll_wide_cast(jac_p, xsT, usT, QdT, RdT, FdT, goal,
     the solver's carry layout."""
     H, dsd, B = jac_p.shape
     ds = xsT.shape[1]
-    dtype = jac_p.dtype
+    # Compute/IO dtype follows the trajectory streams (f32); jac_p may
+    # be the bf16 half-stream carry (upcast at the kernel read sites).
+    dtype = xsT.dtype
     S = int(os.environ.get("AMPC_BQ_WIDE_S", "16"))
     while S > 8 and B % (128 * S) != 0:
         S //= 2
@@ -887,7 +898,7 @@ def _backward_quad_ll_wide(jac_p, xsT, usT, QdT, RdT, FdT, goal, dt,
     H, dsd, B = jac_p.shape
     ds = xsT.shape[1]
     nl = B // 128
-    dtype = jac_p.dtype
+    dtype = xsT.dtype
 
     jac4 = jac_p.reshape(H, dsd, nl, 128)
     xs4 = xsT[:H].reshape(H, ds, nl, 128)
@@ -930,7 +941,7 @@ def _backward_quad_ll_wide_4d(jac4, xs4, xterm, us4, Qd4, Rd4, Fd4,
     H, dsd, nl, _ = jac4.shape
     ds = xs4.shape[1]
     B = nl * 128
-    dtype = jac4.dtype
+    dtype = xs4.dtype
     # Default S=16 (two independent vregs per op interleave the
     # dependency chains: 19.8 ms vs 20.3 at S=8, 23.8 loop-kernel,
     # B=65536); auto-downgrade when the batch doesn't divide. S=32

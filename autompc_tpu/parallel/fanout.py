@@ -1049,6 +1049,7 @@ class JointMLPQuadCostFanout:
         n_train_iters: int = 50,
         n_batch: int = 64,
         seed: int = 100,
+        horizon_mask: bool = False,
     ):
         import optax
 
@@ -1181,11 +1182,18 @@ class JointMLPQuadCostFanout:
             Jx = jnp.eye(n, dtype=Jm.dtype) + Jm[:, :n]
             return pred, Jx, Jm[:, n:]
 
+        # horizon_mask: ``horizon`` is H_MAX and candidates carry their
+        # own effective horizon (batch["horizons"]) — ONE compiled
+        # program per (n_hidden_layers, nonlintype) bucket instead of
+        # one per distinct horizon hyperparameter value
+        # (control/ilqr.py horizon_mask; pinned exact in
+        # tests/test_horizon_mask.py).
+        self._horizon_mask = bool(horizon_mask)
         solver_kw = dict(
             H=horizon, ds=n, dc=dc, obsdim=n, dt=dt, ubounds=ubounds,
             backward=backward, block_b=block_b,
             batch_params=True, quad_cost_batch=True, quad_goal=goal,
-            pred_diff=pred_diff,
+            pred_diff=pred_diff, horizon_mask=self._horizon_mask,
         )
         if reg_matrix is not None:
             solver_kw["reg_matrix"] = jnp.asarray(reg_matrix)
@@ -1237,6 +1245,8 @@ class JointMLPQuadCostFanout:
             }
             if "regw" in batch:
                 cost_params["regw"] = batch["regw"]
+            if self._horizon_mask:
+                cost_params["heff"] = batch["horizons"].astype(jnp.int32)
             obs0 = jnp.broadcast_to(init_obs, (B, n))
 
             def body(carry, _):
@@ -1341,6 +1351,10 @@ class JointMLPQuadCostFanout:
         }
         if "regw" in batch:
             full["regw"] = pad(batch["regw"])
+        if self._horizon_mask:
+            full["horizons"] = pad(
+                jnp.asarray(batch["horizons"], jnp.int32)
+            )
         return full, B
 
     def __call__(self, batch):

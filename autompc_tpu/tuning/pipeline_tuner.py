@@ -134,6 +134,7 @@ class PipelineTuner:
         fanout_warm_start: bool = False,
         fanout_backward: str = "scan",
         fanout_feature_kernels: bool = False,
+        fanout_horizon_mask: bool = True,
     ):
         """``surrogate_mode``: one of "defaultcfg", "fixedcfg",
         "autotune", "autoselect", "pretrain"
@@ -171,6 +172,16 @@ class PipelineTuner:
         feature line-search/relinearization kernels for
         linear-in-features models). TPU-only — the defaults are the
         CPU-safe XLA scan paths.
+
+        ``fanout_horizon_mask`` (default True): horizon-POLYMORPHIC
+        joint-MLP fan-outs — the controller's horizon hyperparameter
+        stops being a bucket key; one program compiles at the config
+        space's H upper bound and every lane carries its effective
+        horizon (control/ilqr.py horizon_mask, algebraically exact —
+        tests/test_horizon_mask.py). Without it, a 100-candidate tune
+        whose horizons rarely repeat compiles ~one program per
+        candidate (~30 s each on the TPU tunnel — the dominant cost of
+        the round-5 bench_tune.py profile).
         """
         self.surrogate_mode = surrogate_mode
         self.surrogate_factory = surrogate_factory
@@ -186,6 +197,7 @@ class PipelineTuner:
         self.fanout_warm_start = bool(fanout_warm_start)
         self.fanout_backward = str(fanout_backward)
         self.fanout_feature_kernels = bool(fanout_feature_kernels)
+        self.fanout_horizon_mask = bool(fanout_horizon_mask)
 
     def _fanout_kind(self, pipeline, surrogate):
         """Which fan-out fast path (if any) covers this pipeline.
@@ -377,6 +389,26 @@ class PipelineTuner:
                 trig_interaction=mk(cfg, "trig_interaction", "false"),
             )
 
+        # Horizon-polymorphic joint-MLP buckets (fanout_horizon_mask):
+        # one program at the config space's horizon UPPER BOUND serves
+        # every candidate horizon — the horizon stops multiplying
+        # compiled programs (control/ilqr.py horizon_mask doc).
+        hmask_on = self.fanout_horizon_mask and kind == "joint_mlp"
+        h_upper = None
+        if hmask_on:
+            try:
+                cs_c = (
+                    pipeline.controller_factory.get_configuration_space()
+                )
+                h_upper = int(cs_c.get_hyperparameter("horizon").upper)
+            except Exception:
+                h_upper = None
+            if "horizon" in overrides:
+                # A factory-pinned horizon is a single bucket anyway.
+                hmask_on = False
+        if hmask_on and h_upper is None:
+            hmask_on = False
+
         # Bucket by the shape-changing hyperparameters.
         buckets = {}
         for idx, cfg in enumerate(cfgs):
@@ -395,7 +427,7 @@ class PipelineTuner:
                 key = (
                     int(mk(cfg, "n_hidden_layers", "2")),
                     str(mk(cfg, "nonlintype", "relu")),
-                    int(horizon),
+                    h_upper if hmask_on else int(horizon),
                 )
             elif kind == "joint_koopman":
                 kb = dict(
@@ -468,6 +500,7 @@ class PipelineTuner:
                             n_hidden_layers=key[0], nonlintype=key[1]
                         ),
                         sysid_trajs, surrogate, horizon=key[2],
+                        horizon_mask=hmask_on,
                         compact_schedule=self.fanout_compact,
                         warm_start=self.fanout_warm_start,
                         backward=self.fanout_backward,
@@ -628,6 +661,10 @@ class PipelineTuner:
                 batch["lr"] = jnp.asarray(
                     [float(mk(cfgs[i], "lr", 1e-3)) for i in idxs]
                 )
+                if hmask_on:
+                    batch["horizons"] = np.array(
+                        [int(ck(cfgs[i], "horizon", 20)) for i in idxs]
+                    )
             vals = np.asarray(fanouts[key](batch))
             for j, i in enumerate(idxs):
                 costs[i] = float(vals[j])

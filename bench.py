@@ -162,6 +162,10 @@ def main():
             # BENCH_LSW=on: the WIDE split line search — measured a
             # wash (+1%; PERF.md negative-result note), kept opt-in.
             ls_wide=(os.environ.get("BENCH_LSW", "off") == "on"),
+            # BENCH_JD=bf16: bfloat16 packed-jac carry (half the
+            # backward's biggest stream; fits B=131072 in HBM). Gains
+            # and trajectories stay f32; quality gate decides.
+            jac_dtype=os.environ.get("BENCH_JD", "f32"),
         )
         # BENCH_SCHED: device-side converged-lane compaction (default):
         # the convergence histogram is long-tailed (median lane ~15

@@ -433,3 +433,64 @@ def test_wide_line_search_matches_fused(setup):
                 np.asarray(w), np.asarray(r), rtol=1e-9, atol=1e-9,
                 err_msg=name,
             )
+
+
+def test_solver_ll_bf16_jac_carry(setup):
+    """jac_dtype="bf16" (half-stream jac carry, the B=131072 HBM fit):
+    the solver runs with a bfloat16 packed-jac carry while gains and
+    trajectories stay f32, and its solutions track the f32-jac solver
+    closely (iLQR tolerates an inexact linearization — the line search
+    re-evaluates the true objective in f32)."""
+    b, model, cost, common = setup
+    bf = make_batched_ilqr_solver(
+        model.pred_core, cost, jac_dtype="bf16",
+        **_ll_kwargs(model), **common
+    )
+    ref = make_batched_ilqr_solver(
+        model.pred_core, cost, **_ll_kwargs(model), **common
+    )
+    rng = np.random.default_rng(11)
+    B = 8
+    x0s = jnp.asarray(rng.uniform(-1, 1, (B, 4)))
+    ug = jnp.zeros((B, common["H"], 1))
+    out_b = jax.jit(bf)(model.params, x0s, ug)
+    out_r = jax.jit(ref)(model.params, x0s, ug)
+    # Trajectories and gains keep the reference solver's full-precision
+    # dtype (f32; f64 under the test suite's x64 mode) — only the jac
+    # CARRY is bf16.
+    assert out_b[1].dtype == out_r[1].dtype
+    assert out_b[3].dtype == out_r[3].dtype
+    # Most lanes converge identically; trajectories track within the
+    # bf16 linearization's reach (the acceptance rule can flip a
+    # knife-edge lane, so pin medians, not lane-for-lane equality).
+    conv_b = np.asarray(out_b[0])
+    conv_r = np.asarray(out_r[0])
+    assert conv_b.mean() >= conv_r.mean() - 0.25
+    err = np.median(
+        np.abs(np.asarray(out_b[1]) - np.asarray(out_r[1]))
+    )
+    assert err < 0.05, err
+
+
+def test_jac_dtype_validation():
+    """jac_dtype="bf16" requires the lanes-last carry; bad values
+    raise."""
+    b = CartpoleSwingupBenchmark()
+    trajs = b.gen_trajs_batch(seed=42, n_trajs=20, traj_len=40)
+    model = SINDy(
+        b.system, method="lstsq", threshold=1e-3,
+        trig_basis=True, trig_freq=1, trig_interaction=True,
+        time_mode="discrete",
+    )
+    model.train(trajs)
+    kw = dict(H=8, ds=4, dc=1, obsdim=4, dt=b.system.dt)
+    with pytest.raises(ValueError, match="lanes-last"):
+        make_batched_ilqr_solver(
+            model.pred_core, None, jac_dtype="bf16",
+            quad_cost_batch=True, **kw
+        )
+    with pytest.raises(ValueError, match="jac_dtype"):
+        make_batched_ilqr_solver(
+            model.pred_core, None, jac_dtype="fp8",
+            quad_cost_batch=True, **kw
+        )

@@ -448,6 +448,66 @@ class TestPipelineTunerFanout:
             else:
                 assert np.isinf(cs) == np.isinf(cf)
 
+    def test_joint_mlp_horizon_mask_matches_per_horizon(
+        self, benchmark, trajs
+    ):
+        """fanout_horizon_mask: candidates with DIFFERENT controller
+        horizons evaluate through one horizon-polymorphic program
+        (compiled at the config space's upper bound) and must score
+        exactly like the per-horizon-bucketed fan-outs (the padding is
+        algebraically inert — tests/test_horizon_mask.py)."""
+        from autompc_tpu.sysid import MLPFactory, SINDy
+
+        surrogate = SINDy(
+            benchmark.system, method="lstsq", threshold=1e-3,
+            trig_basis=True, trig_freq=1, trig_interaction=True,
+            time_mode="discrete",
+        )
+        surrogate.train(trajs)
+
+        def make_pipeline():
+            return Pipeline(
+                benchmark.system,
+                MLPFactory(
+                    benchmark.system,
+                    n_hidden_layers="1", nonlintype="tanh",
+                    n_train_iters=4, n_batch=32,
+                ),
+                QuadCostFactory(benchmark.system, goal=np.zeros(4)),
+                IterativeLQRFactory(benchmark.system),  # horizon TUNED
+            )
+
+        task = benchmark.task.copy()
+        task.set_num_steps(25)
+
+        per_h = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=3, use_fanout=True,
+            fanout_horizon_mask=False,
+        )
+        masked = PipelineTuner(
+            surrogate_mode="pretrain", eval_batch=3, use_fanout=True,
+            fanout_horizon_mask=True,
+        )
+        rng1 = np.random.default_rng(9)
+        rng2 = np.random.default_rng(9)
+        _, res_ph = per_h.run(
+            make_pipeline(), task, trajs, n_iters=6, rng=rng1,
+            surrogate=surrogate,
+        )
+        _, res_hm = masked.run(
+            make_pipeline(), task, trajs, n_iters=6, rng=rng2,
+            surrogate=surrogate,
+        )
+        # Same BO trajectory => same candidates; the masked program
+        # must reproduce the per-horizon costs (x64 CPU: tight).
+        for cs, cf in zip(res_ph.costs, res_hm.costs):
+            if np.isfinite(cs) and np.isfinite(cf):
+                assert cf == pytest.approx(cs, rel=1e-6, abs=1e-8), (
+                    res_ph.costs, res_hm.costs,
+                )
+            else:
+                assert np.isinf(cs) == np.isinf(cf)
+
     @pytest.mark.slow
     def test_joint_koopman_lasso_fanout_matches_sequential(
         self, benchmark, trajs

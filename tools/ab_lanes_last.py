@@ -80,14 +80,17 @@ def main():
 
     # Variants: bm (batch-major), ll (lanes-last), llw (lanes-last +
     # WIDE split line search), llc (lanes-last + cast-IO wide backward
-    # — round 5; ll pins AMPC_BQ_WIDE_IO=reshape for the A/B).
+    # — round 5; ll pins AMPC_BQ_WIDE_IO=reshape for the A/B), llb
+    # (llc + bf16 packed-jac carry — half the backward's biggest
+    # stream and the B=131072 HBM fit; control/ilqr.py jac_dtype).
     names = os.environ.get("AB_VARIANTS", "bm,ll").split(",")
     solvers = {}
     for name in names:
         kw = dict(
             base_kw,
-            lanes_last=(name in ("ll", "llw", "llc")),
+            lanes_last=(name in ("ll", "llw", "llc", "llb")),
             ls_wide=(name == "llw"),
+            jac_dtype="bf16" if name == "llb" else "f32",
         )
         solvers[name] = jax.jit(
             make_scheduled_ilqr_solver(model.pred_core, cost, **kw)
@@ -106,7 +109,7 @@ def main():
         # The wide backward reads AMPC_BQ_WIDE_IO at trace time, i.e.
         # at this first (warming) call.
         os.environ["AMPC_BQ_WIDE_IO"] = (
-            "cast" if name == "llc" else "reshape"
+            "cast" if name in ("llc", "llb") else "reshape"
         )
         t0 = time.perf_counter()
         out = solve(model.params, x0_pool[0], ug)

@@ -80,6 +80,10 @@ def main():
         jac_p = 0.1 * jax.random.normal(
             ks[0], shp(H, ds * (ds + 1)), jnp.float32
         )
+        # AB_JAC=bf16: the half-stream bf16 jac carry
+        # (control/ilqr.py jac_dtype) — the kernel upcasts on read.
+        if os.environ.get("AB_JAC") == "bf16":
+            jac_p = jac_p.astype(jnp.bfloat16)
         if path_4d:
             xsT = jax.random.normal(ks[1], shp(H, ds), jnp.float32)
             xterm = jax.random.normal(ks[1], shp(ds), jnp.float32)
@@ -133,7 +137,10 @@ def main():
                     else pr._backward_quad_ll_wide
                 )
                 out = body(
-                    jac_p + eps, xsT, usT, QdT, RdT, FdT, goal, dt,
+                    # Perturb in the jac's own dtype (a f32 eps would
+                    # silently promote a bf16 jac back to f32).
+                    jac_p + jnp.asarray(eps, jac_p.dtype),
+                    xsT, usT, QdT, RdT, FdT, goal, dt,
                     obsdim, False, carry,
                 )
             if reduced:
