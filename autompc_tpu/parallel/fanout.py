@@ -1050,6 +1050,7 @@ class JointMLPQuadCostFanout:
         n_batch: int = 64,
         seed: int = 100,
         horizon_mask: bool = False,
+        pad_to: Optional[int] = None,
     ):
         import optax
 
@@ -1189,6 +1190,11 @@ class JointMLPQuadCostFanout:
         # (control/ilqr.py horizon_mask; pinned exact in
         # tests/test_horizon_mask.py).
         self._horizon_mask = bool(horizon_mask)
+        # pad_to: fixed minimum lane count — small tuner buckets stop
+        # compiling one program per distinct padded size (size joins
+        # horizon as a removed compile axis; padded lanes replicate
+        # the last candidate and cost only device compute).
+        self._pad_to = int(pad_to) if pad_to else None
         solver_kw = dict(
             H=horizon, ds=n, dc=dc, obsdim=n, dt=dt, ubounds=ubounds,
             backward=backward, block_b=block_b,
@@ -1313,9 +1319,10 @@ class JointMLPQuadCostFanout:
 
         widths_list = [list(w) for w in batch["widths"]]
         B = len(widths_list)
-        target = (
-            (B + self._pad_quantum - 1) // self._pad_quantum
-        ) * self._pad_quantum
+        q = self._pad_quantum
+        target = ((B + q - 1) // q) * q
+        if self._pad_to is not None:
+            target = max(target, ((self._pad_to + q - 1) // q) * q)
         widths_list += [widths_list[-1]] * (target - B)
 
         key = jax.random.PRNGKey(self._seed)

@@ -501,6 +501,10 @@ class PipelineTuner:
                         ),
                         sysid_trajs, surrogate, horizon=key[2],
                         horizon_mask=hmask_on,
+                        # With horizon-polymorphic buckets also pin the
+                        # padded lane count: at most ONE compiled
+                        # program per (n_layers, nonlintype) bucket.
+                        pad_to=self.eval_batch if hmask_on else None,
                         compact_schedule=self.fanout_compact,
                         warm_start=self.fanout_warm_start,
                         backward=self.fanout_backward,
