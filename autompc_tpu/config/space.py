@@ -113,13 +113,19 @@ class UniformFloatHyperparameter(Hyperparameter):
     def from_unit(self, u):
         u = min(max(float(u), 0.0), 1.0)
         if self.log:
-            return float(
+            v = float(
                 math.exp(
                     math.log(self.lower)
                     + u * (math.log(self.upper) - math.log(self.lower))
                 )
             )
-        return float(self.lower + u * (self.upper - self.lower))
+        else:
+            v = float(self.lower + u * (self.upper - self.lower))
+        # exp(log(upper)) can land epsilon OUTSIDE the bounds (u=1.0
+        # decoded 10000.00000000001 on a (1e-3, 1e4) log hp — an
+        # is_legal violation that broke a checkpoint round-trip);
+        # decode must land inside.
+        return min(max(v, self.lower), self.upper)
 
     def is_legal(self, value):
         try:
@@ -584,10 +590,32 @@ class ConfigurationSpace:
         return out[0] if size is None else out
 
     def configuration_from_dict(self, d: Dict[str, Any]) -> Configuration:
-        for key, val in d.items():
+        # Coerce numpy scalars / 0-d arrays to Python scalars first:
+        # checkpoint round-trips (utils/checkpoint.py npz serialization)
+        # hand values back as 0-d arrays, which would otherwise fail
+        # is_legal's type checks (found by a resumed examples/5 run).
+        d = {
+            key: (val.item() if isinstance(val, np.generic)
+                  or (isinstance(val, np.ndarray) and val.ndim == 0)
+                  else val)
+            for key, val in d.items()
+        }
+        for key, val in list(d.items()):
             if key not in self._hyperparameters:
                 raise KeyError(f"Unknown hyperparameter {key}")
-            if not self._hyperparameters[key].is_legal(val):
+            hp = self._hyperparameters[key]
+            if isinstance(hp, UniformFloatHyperparameter) and isinstance(
+                val, float
+            ):
+                # Tolerate epsilon bound violations from older
+                # checkpoints (pre-fix from_unit could decode u=1.0 to
+                # upper + ~1e-11 on log-scale hps).
+                tol = 1e-8 * max(abs(hp.lower), abs(hp.upper), 1.0)
+                if hp.upper < val <= hp.upper + tol:
+                    d[key] = val = hp.upper
+                elif hp.lower - tol <= val < hp.lower:
+                    d[key] = val = hp.lower
+            if not hp.is_legal(val):
                 raise ValueError(f"Illegal value {val!r} for {key}")
         return Configuration(self, self._resolve(dict(d)))
 

@@ -211,3 +211,39 @@ class TestShapeSignature:
         c3 = cs.get_default_configuration()
         c3["poly_degree"] = 8
         assert c1.shape_signature() != c3.shape_signature()
+
+
+def test_from_unit_lands_inside_bounds():
+    """Log-scale decode at u=1.0 must return exactly upper (pre-fix it
+    returned upper + ~1e-11, which failed is_legal and broke a
+    checkpoint round-trip through configuration_from_dict)."""
+    from autompc_tpu.config.space import UniformFloatHyperparameter
+
+    hp = UniformFloatHyperparameter("x", 1e-3, 1e4, log=True)
+    for u in (0.0, 0.25, 0.5, 0.999999, 1.0):
+        v = hp.from_unit(u)
+        assert hp.is_legal(v), (u, v)
+    assert hp.from_unit(1.0) == hp.upper
+    # exp/log roundoff may land epsilon INSIDE at u=0 — legal either
+    # way; the clamp only guarantees in-bounds.
+    assert abs(hp.from_unit(0.0) - hp.lower) < 1e-12 * hp.lower + 1e-18
+
+
+def test_configuration_from_dict_numpy_and_epsilon():
+    """Checkpoint round-trips hand back 0-d numpy arrays and (from old
+    snapshots) epsilon-out-of-bound floats; both must load."""
+    import numpy as np
+
+    from autompc_tpu.config.space import (
+        ConfigurationSpace,
+        UniformFloatHyperparameter,
+    )
+
+    cs = ConfigurationSpace()
+    cs.add_hyperparameter(
+        UniformFloatHyperparameter("a", 1e-3, 1e4, log=True)
+    )
+    cfg = cs.configuration_from_dict({"a": np.array(10000.00000000001)})
+    assert cfg["a"] == 1e4
+    cfg = cs.configuration_from_dict({"a": np.float64(0.5)})
+    assert cfg["a"] == 0.5
