@@ -74,22 +74,29 @@ def main():
         }
 
     # Full eval timing (the bench_scaling number's shape).
+    # PROF_SKIP_FULL=1 jumps straight to the train-only phase (the
+    # full-eval program alone compiles ~17 min at 1024 lanes via the
+    # tunnel — round-5 measurement).
     K = int(os.environ.get("PROF_REPS", "3"))
-    t0 = time.perf_counter()
-    out = fan(batch_for(0))
-    _ = float(np.asarray(out)[0])
-    print(f"[prof] compile+first eval: {time.perf_counter() - t0:.1f}s",
-          flush=True)
-    t0 = time.perf_counter()
-    for j in range(K):
-        out = fan(batch_for(j + 1))
-    _ = float(np.asarray(out)[0])
-    full_s = (time.perf_counter() - t0) / K
-    print(
-        f"[prof] full eval: {full_s:.2f} s/batch "
-        f"({B / full_s:.2f} evals/s)",
-        flush=True,
-    )
+    full_s = None
+    if os.environ.get("PROF_SKIP_FULL") != "1":
+        t0 = time.perf_counter()
+        out = fan(batch_for(0))
+        _ = float(np.asarray(out)[0])
+        print(
+            f"[prof] compile+first eval: {time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        for j in range(K):
+            out = fan(batch_for(j + 1))
+        _ = float(np.asarray(out)[0])
+        full_s = (time.perf_counter() - t0) / K
+        print(
+            f"[prof] full eval: {full_s:.2f} s/batch "
+            f"({B / full_s:.2f} evals/s)",
+            flush=True,
+        )
 
     # Training-only timing: replicate the internal staging through the
     # fan-out's private hooks (the prepared net0/masks batch), timing
@@ -114,9 +121,13 @@ def main():
         nets = train_fn(batch_for(100 + j))
     _ = float(np.asarray(jax.tree_util.tree_leaves(nets)[0]).ravel()[0])
     train_s = (time.perf_counter() - t0) / K
+    frac = (
+        f" ({100 * train_s / full_s:.0f}% of the eval)"
+        if full_s else ""
+    )
     print(
-        f"[prof] train only: {train_s:.2f} s/batch "
-        f"({100 * train_s / full_s:.0f}% of the eval)",
+        f"[prof] train only: {train_s:.2f} s/batch"
+        f" ({B / train_s:.2f} lanes/s trained){frac}",
         flush=True,
     )
 
